@@ -1,0 +1,164 @@
+"""build_index — the chunked, resumable SPIMI build driver.
+
+The reference's update pipeline (update/StrucmotifUpdate.java:191-245)
+processes documents in commit-interval chunks; each chunk is tokenized,
+partial posting files are written, then merged into the production index
+under a dirty-list WAL with an atomic swap.  This driver is the same protocol
+over DataFrames:
+
+  stage doc_map   : global doc dictionary (ids, sha256, doclen, shard)
+  stage partials  : per chunk — tokenize + tf extraction -> parquet runs
+                    (SPIMI stage 1; chunk = contiguous shard range, the
+                    commit-interval analogue, StrucmotifConfig.java:92)
+  stage terms     : global exact term dictionary (df, cf, term_id)
+  stage stats     : global exact {N, sum_doclen, avgdl}
+  stage pack      : per chunk — join term_ids, group by (shard, term_id),
+                    pack delta-gap varint blocks (SPIMI stage 2)
+  stage commit    : flip CURRENT pointer (atomic publication)
+
+Every stage transition is appended to the lineage WAL with metrics; rerunning
+``build_index`` with the same ``gen`` skips chunks already logged ``done``, so
+a build killed mid-merge resumes and produces a byte-identical index (the
+RECOVER contract, StrucmotifUpdate.java:532-546).  Writes are idempotent:
+chunk output is overwrite-by-directory, never append, so a replayed chunk
+cannot double-count (the reference achieves the same with whole-bundle swap).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tokenizer import term_frequencies
+from .doc_map import build_doc_map
+from .index_store import IndexStore
+from .norms import build_norms
+from .postings import pack_postings
+from .terms import build_stats, build_terms
+
+
+def _chunk_of(shard_col, shards_per_chunk: int):
+    return (shard_col / shards_per_chunk).cast("int")
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    store: IndexStore,
+    docs_per_shard: int = 8192,
+    shards_per_chunk: int = 4,
+    content_col: str = "content",
+    gen: str | None = None,
+) -> str:
+    """Build (or resume building) a full index generation from a source table
+    of shape (repo, path, commit, lang, content).  Returns the published gen.
+
+    Pass ``gen`` to resume an interrupted build of that generation.
+    """
+    t0 = time.time()
+    if gen is None:
+        gen = store.new_gen()
+    store.log(gen=gen, stage="build", status="start")
+
+    # ---- stage doc_map ------------------------------------------------
+    if not store.stage_done(gen, "doc_map"):
+        dm = build_doc_map(docs, docs_per_shard=docs_per_shard, content_col=content_col)
+        store.write_table(dm, "doc_map", gen)
+        n_docs = store.read_table(spark, "doc_map", gen).count()
+        store.log(gen=gen, stage="doc_map", status="done", n_docs=n_docs)
+    doc_map = store.read_table(spark, "doc_map", gen)
+
+    n_shards = doc_map.agg(F.max("shard")).first()[0] + 1
+    n_chunks = (n_shards + shards_per_chunk - 1) // shards_per_chunk
+
+    # ---- stage partials (SPIMI stage 1, per chunk) ---------------------
+    docs_keyed = docs.join(
+        doc_map.select("doc_id", "shard", "repo", "path", "commit"),
+        on=["repo", "path", "commit"],
+    ).withColumn("chunk", _chunk_of(F.col("shard"), shards_per_chunk))
+    done = store.completed(gen, "partials")
+    for chunk in range(n_chunks):
+        if chunk in done:
+            continue
+        tc = time.time()
+        store.log(gen=gen, stage="partials", chunk=chunk, status="start")
+        chunk_docs = docs_keyed.where(F.col("chunk") == chunk)
+        tf = term_frequencies(chunk_docs, content_col=content_col)
+        tf = tf.join(
+            doc_map.select("doc_id", "shard").where(
+                _chunk_of(F.col("shard"), shards_per_chunk) == chunk
+            ),
+            on="doc_id",
+        )
+        # in-partition sort before writing runs — the SPIMI run sort
+        # (StrucmotifUpdate.java:341-342 analogue)
+        tf.repartition("shard").sortWithinPartitions("term", "doc_id").write.mode(
+            "overwrite"
+        ).parquet(store.partials_path(gen, chunk))
+        n = spark.read.parquet(store.partials_path(gen, chunk)).count()
+        store.log(
+            gen=gen, stage="partials", chunk=chunk, status="done",
+            n_postings=n, wall_ms=int((time.time() - tc) * 1000),
+        )
+
+    partials = spark.read.parquet(store.partials_path(gen))
+
+    # ---- stage terms + stats (global, exact) ---------------------------
+    if not store.stage_done(gen, "terms"):
+        store.write_table(build_terms(partials), "terms", gen)
+        n_terms = store.read_table(spark, "terms", gen).count()
+        store.log(gen=gen, stage="terms", status="done", n_terms=n_terms)
+    terms = store.read_table(spark, "terms", gen)
+
+    if not store.stage_done(gen, "stats"):
+        store.write_table(build_stats(doc_map), "stats", gen)
+        store.log(gen=gen, stage="stats", status="done")
+
+    if not store.stage_done(gen, "norms"):
+        store.write_table(build_norms(doc_map), "norms", gen)
+        store.log(gen=gen, stage="norms", status="done")
+
+    # ---- stage pack (SPIMI stage 2, per chunk) --------------------------
+    done = store.completed(gen, "pack")
+    term_ids = terms.select("term", "term_id")
+    for chunk in range(n_chunks):
+        if chunk in done:
+            continue
+        tc = time.time()
+        store.log(gen=gen, stage="pack", chunk=chunk, status="start")
+        part = spark.read.parquet(store.partials_path(gen, chunk))
+        with_ids = part.join(term_ids, on="term").select(
+            "shard", "term_id", "doc_id", "tf"
+        )
+        blocks = pack_postings(with_ids)
+        blocks.sortWithinPartitions("term_id", "block_id").write.mode(
+            "overwrite"
+        ).parquet(store.postings_chunk_path(gen, chunk))
+        n = spark.read.parquet(store.postings_chunk_path(gen, chunk)).count()
+        store.log(
+            gen=gen, stage="pack", chunk=chunk, status="done",
+            n_blocks=n, wall_ms=int((time.time() - tc) * 1000),
+        )
+
+    # ---- commit ---------------------------------------------------------
+    import json
+    from pathlib import Path
+
+    (Path(store.root) / gen / "_meta.json").write_text(
+        json.dumps(
+            {
+                "docs_per_shard": docs_per_shard,
+                "shards_per_chunk": shards_per_chunk,
+                "n_shards": int(n_shards),
+                "n_chunks": int(n_chunks),
+            }
+        )
+    )
+    store.publish(gen)
+    store.log(
+        gen=gen, stage="commit", status="done",
+        wall_ms=int((time.time() - t0) * 1000), n_chunks=n_chunks,
+    )
+    return gen

@@ -1,0 +1,135 @@
+"""IndexStore — on-disk index layout with snapshot-atomic publication and an
+append-only lineage log.
+
+The reference publishes a merged index by writing to a temp bundle and
+atomically renaming it over production (io/DefaultInvertedIndex.java:233-235,
+260-264), and tracks in-flight work in ``dirty.list``
+(io/DefaultStateRepository.java:100-116) so a crashed update can RECOVER
+(update/StrucmotifUpdate.java:532-546).  In the new engine the same contract
+is expressed as *generations* + a CURRENT pointer (on a real deployment this
+role is played by Iceberg snapshot commits; this store is a dependency-free
+stand-in with identical semantics):
+
+    root/
+      gen-000001/{doc_map,terms,stats,postings,...}/   # immutable tables
+      _partials/gen-000001/chunk=N/                    # stage-1 SPIMI runs
+      _lineage.jsonl                                   # append-only WAL
+      CURRENT                                          # atomic pointer
+
+Readers resolve CURRENT once; a build writes into an unpublished gen dir and
+flips CURRENT via atomic ``os.replace`` only after every chunk committed —
+readers never observe a partial merge.  The lineage log is the dirty-list
+analogue: each (gen, chunk, stage) transition is appended with metrics, and a
+resumed build skips chunks whose terminal event is already logged (recovery
+protocol T1-T3 in SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ["doc_map", "terms", "stats", "postings"]
+
+
+class IndexStore:
+    def __init__(self, root: str | os.PathLike):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # ---- generations -------------------------------------------------
+    def current_gen(self) -> str | None:
+        cur = self.root / "CURRENT"
+        if not cur.exists():
+            return None
+        return cur.read_text().strip() or None
+
+    def current_dir(self) -> Path:
+        gen = self.current_gen()
+        if gen is None:
+            raise FileNotFoundError(f"no published index under {self.root}")
+        return self.root / gen
+
+    def new_gen(self) -> str:
+        existing = sorted(p.name for p in self.root.glob("gen-*"))
+        n = int(existing[-1].split("-")[1]) + 1 if existing else 1
+        gen = f"gen-{n:06d}"
+        (self.root / gen).mkdir(parents=True, exist_ok=True)
+        return gen
+
+    def publish(self, gen: str) -> None:
+        """Atomic pointer flip — the bundle-swap analogue
+        (DefaultInvertedIndex.java:260-264)."""
+        tmp = self.root / f".CURRENT.{uuid.uuid4().hex}"
+        tmp.write_text(gen + "\n")
+        os.replace(tmp, self.root / "CURRENT")
+
+    # ---- tables ------------------------------------------------------
+    def table_path(self, name: str, gen: str | None = None) -> str:
+        base = self.root / (gen or self.current_gen() or "")
+        return str(base / name)
+
+    def write_table(self, df: DataFrame, name: str, gen: str) -> None:
+        df.write.mode("overwrite").parquet(self.table_path(name, gen))
+
+    def read_table(self, spark: SparkSession, name: str, gen: str | None = None) -> DataFrame:
+        return spark.read.parquet(self.table_path(name, gen))
+
+    def partials_path(self, gen: str, chunk: int | None = None) -> str:
+        p = self.root / "_partials" / gen
+        if chunk is not None:
+            p = p / f"chunk={chunk}"
+        return str(p)
+
+    def postings_chunk_path(self, gen: str, chunk: int) -> str:
+        return str(self.root / gen / "postings" / f"chunk={chunk}")
+
+    # ---- lineage WAL ---------------------------------------------------
+    @property
+    def lineage_path(self) -> Path:
+        return self.root / "_lineage.jsonl"
+
+    def log(self, **event) -> None:
+        event.setdefault("ts", time.time())
+        with open(self.lineage_path, "a") as f:
+            f.write(json.dumps(event, sort_keys=True) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def lineage(self) -> list[dict]:
+        if not self.lineage_path.exists():
+            return []
+        out = []
+        with open(self.lineage_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+        return out
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        return spark.read.json(str(self.lineage_path))
+
+    def completed(self, gen: str, stage: str) -> set[int]:
+        """Chunk ids whose (gen, stage) reached status=done — the resume
+        skip-set (RECOVER analogue, StrucmotifUpdate.java:532-546)."""
+        done: set[int] = set()
+        for e in self.lineage():
+            if e.get("gen") == gen and e.get("stage") == stage:
+                if e.get("status") == "done":
+                    done.add(int(e.get("chunk", -1)))
+        return done
+
+    def stage_done(self, gen: str, stage: str) -> bool:
+        return any(
+            e.get("gen") == gen
+            and e.get("stage") == stage
+            and e.get("status") == "done"
+            and "chunk" not in e
+            for e in self.lineage()
+        )

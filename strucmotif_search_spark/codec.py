@@ -1,0 +1,118 @@
+"""Vectorized posting-block codec: delta-gap + LEB128 varint, numpy-only.
+
+The reference encodes each bucket (posting list) as three varint-encoded int
+arrays with a hand-rolled colfer codec (io/codec/ColferCodec.java:101-133
+encode, :24-99 decode) because gzip made bucket reads 20-30x slower
+(benchmark/io/InvertedIndexRunner.java:56-99).  The reference varint-encodes
+*absolute* docIDs; per the north rule we upgrade to **delta-gap + varint with
+per-block skip pointers** (block metadata lives in the postings table columns
+``max_doc_id`` / ``block_max_tf`` / ``n_docs``; this module only packs/unpacks
+the byte payloads).
+
+Everything here is array-at-a-time numpy — no per-element Python loops over
+values (the encode/decode loops below iterate over *byte positions* (<=10) or
+*byte-length classes* (<=10), never over the n values).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK7 = np.uint64(0x7F)
+_CONT = np.uint8(0x80)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array into a byte string.
+
+    Vectorized: computes each value's byte length, then fills one byte
+    position at a time across all values (<=10 iterations for uint64).
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # byte length of each value: ceil(bits/7), minimum 1
+    bits = np.zeros(v.shape, dtype=np.int64)
+    nz = v > 0
+    # bit_length via log2 is unsafe for large ints; use frexp-free approach:
+    # repeatedly shift — but that is a loop over 10 positions max, fine.
+    tmp = v.copy()
+    for _ in range(10):
+        more = tmp > 0
+        if not more.any():
+            break
+        bits[more] += 1
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(bits, 1)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    shifted = v.copy()
+    pos = 0
+    remaining = np.arange(v.size)
+    while remaining.size:
+        idx = offsets[remaining] + pos
+        byte = (shifted[remaining] & _MASK7).astype(np.uint8)
+        has_more = (pos + 1) < nbytes[remaining]
+        out[idx] = byte | np.where(has_more, _CONT, np.uint8(0))
+        shifted[remaining] >>= np.uint64(7)
+        remaining = remaining[has_more]
+        pos += 1
+    _ = nz  # nz retained for clarity; encoding handles zeros via max(bits,1)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode a LEB128 byte string into a uint64 array.  Vectorized:
+    terminator bytes (high bit clear) delimit values; per-value reassembly is
+    a loop over byte positions within values (<=10), not over values.
+    """
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (raw & _CONT) == 0
+    n_vals = int(is_end.sum())
+    # index of the value each byte belongs to
+    val_idx = np.zeros(raw.size, dtype=np.int64)
+    val_idx[1:] = np.cumsum(is_end[:-1])
+    # position of each byte within its value
+    starts = np.zeros(n_vals, dtype=np.int64)
+    ends = np.flatnonzero(is_end)
+    starts[1:] = ends[:-1] + 1
+    byte_pos = np.arange(raw.size, dtype=np.int64) - starts[val_idx]
+    payload = (raw & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * byte_pos.astype(np.uint64)
+    )
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(out, val_idx, payload)
+    return out
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-ascending int array -> first value + gaps (gap-1 not used:
+    reference stores absolute ids; we store first id then raw gaps)."""
+    a = np.asarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return a
+    gaps = np.empty_like(a)
+    gaps[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=gaps[1:])
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    g = np.asarray(gaps, dtype=np.uint64)
+    return np.cumsum(g, dtype=np.uint64)
+
+
+def pack_block(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """Pack one posting block: ascending doc_ids -> delta-gap varint bytes;
+    tfs -> varint bytes.  Returns (doc_gaps, tf_bytes)."""
+    return varint_encode(delta_encode(doc_ids)), varint_encode(tfs)
+
+
+def unpack_block(doc_gaps: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of pack_block -> (doc_ids int64 ascending, tfs int64)."""
+    ids = delta_decode(varint_decode(doc_gaps)).astype(np.int64)
+    tfs = varint_decode(tf_bytes).astype(np.int64)
+    return ids, tfs

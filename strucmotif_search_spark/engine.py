@@ -1,0 +1,85 @@
+"""SearchEngine — the user-facing facade (the ``Strucmotif`` entry point
+analogue, strucmotif-search-core Strucmotif.java:27-37).
+
+Wraps a published IndexStore generation and exposes:
+- ``search(query, k, mode)``      — BM25 top-k via the DAAT path, hits joined
+                                    to document metadata (late
+                                    materialization);
+- ``search_naive(query, k, mode)``— the Catalyst-only baseline plan;
+- exact stats accessors (df/cf/avgdl) for tests and planning.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build.index_store import IndexStore
+from .query.bm25 import bm25_topk_naive
+from .query.daat import bm25_topk_daat
+from .query.planner import QueryPlan, plan_query
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, store: IndexStore):
+        self.spark = spark
+        self.store = store
+        gen_dir = store.current_dir()
+        self.meta = json.loads((Path(gen_dir) / "_meta.json").read_text())
+        self.doc_map = store.read_table(spark, "doc_map")
+        self.terms = store.read_table(spark, "terms")
+        self.stats = store.read_table(spark, "stats")
+        self.norms = store.read_table(spark, "norms")
+        self.postings = store.read_table(spark, "postings")
+        self._stats_row = None
+
+    # ---- planning ------------------------------------------------------
+    def plan(self, query: str) -> QueryPlan:
+        return plan_query(query, self.terms, self.stats)
+
+    # ---- search ----------------------------------------------------------
+    def search(
+        self, query: str, k: int = 10, mode: str = "or", with_meta: bool = True
+    ) -> DataFrame:
+        plan = self.plan(query)
+        hits = bm25_topk_daat(
+            self.spark,
+            self.postings,
+            self.norms,
+            plan,
+            docs_per_shard=self.meta["docs_per_shard"],
+            k=k,
+            mode=mode,
+        )
+        return self._materialize(hits, k) if with_meta else hits
+
+    def search_naive(
+        self, query: str, k: int = 10, mode: str = "or", with_meta: bool = False
+    ) -> DataFrame:
+        plan = self.plan(query)
+        hits = bm25_topk_naive(
+            self.spark,
+            self.postings,
+            self.doc_map.select("doc_id", "doclen"),
+            plan,
+            k=k,
+            mode=mode,
+        )
+        return self._materialize(hits, k) if with_meta else hits
+
+    def _materialize(self, hits: DataFrame, k: int) -> DataFrame:
+        """Late materialization: join metadata only for the <=k winners
+        (J4 analogue, DefaultStrucmotifRuntime.java:145-153); broadcast the
+        tiny hit side so the doc dictionary is never shuffled."""
+        return (
+            F.broadcast(hits)
+            .join(
+                self.doc_map.select("doc_id", "repo", "path", "commit", "lang"),
+                on="doc_id",
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )

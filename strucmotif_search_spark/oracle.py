@@ -1,0 +1,118 @@
+"""Brute-force numpy BM25 oracle — the engine's correctness authority.
+
+The reference's correctness authority is a set of checked-in golden fixtures
+with exact counts (core/StructureIntegrationTest.java:170 asserts exactly 788
+hits; io/DefaultInvertedIndexTest.java:65-66 asserts 13 structures / 241
+occurrences).  This module is the analogue: a ~100-line pure-Python/numpy BM25
+over an in-memory corpus, against which every engine query must be
+rank-identical (same doc_ids, float64 scores equal, ties broken by ascending
+doc_id).
+
+Scoring contract (FIXTURES.md §4):
+    k1 = 1.2, b = 0.75
+    idf(t)      = ln((N - df + 0.5) / (df + 0.5) + 1)          # Lucene-style
+    score(q, d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+summed over *distinct* query terms in ascending term order (deterministic
+float64 summation order), ties broken by ascending doc_id.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import BM25_B, BM25_K1, TOKEN_PATTERN
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+@dataclass
+class OracleIndex:
+    """In-memory exact inverted index over a small corpus."""
+
+    doc_ids: np.ndarray  # int64, ascending
+    doclens: np.ndarray  # int64, aligned with doc_ids
+    postings: dict[str, tuple[np.ndarray, np.ndarray]]  # term -> (doc_ids, tfs)
+    n_docs: int = 0
+    avgdl: float = 0.0
+    df: dict[str, int] = field(default_factory=dict)
+    cf: dict[str, int] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.n_docs = int(self.doc_ids.size)
+        self.avgdl = float(self.doclens.sum()) / self.n_docs if self.n_docs else 0.0
+        self.df = {t: int(p[0].size) for t, p in self.postings.items()}
+        self.cf = {t: int(p[1].sum()) for t, p in self.postings.items()}
+
+
+def tokenize(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text)
+
+
+def build_oracle(doc_ids: list[int], texts: list[str]) -> OracleIndex:
+    order = np.argsort(np.asarray(doc_ids, dtype=np.int64), kind="stable")
+    ids = np.asarray(doc_ids, dtype=np.int64)[order]
+    lens = np.zeros(ids.size, dtype=np.int64)
+    post: dict[str, dict[int, int]] = {}
+    for row, i in enumerate(order):
+        toks = tokenize(texts[i])
+        lens[row] = len(toks)
+        d = int(ids[row])
+        for t in toks:
+            post.setdefault(t, {})
+            post[t][d] = post[t].get(d, 0) + 1
+    postings = {}
+    for t, m in post.items():
+        ds = np.fromiter(sorted(m), dtype=np.int64, count=len(m))
+        tfs = np.asarray([m[int(d)] for d in ds], dtype=np.int64)
+        postings[t] = (ds, tfs)
+    return OracleIndex(doc_ids=ids, doclens=lens, postings=postings)
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def bm25_topk(
+    index: OracleIndex,
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+) -> list[tuple[int, float]]:
+    """Top-k (doc_id, score) for a query string.
+
+    mode='or'  — disjunctive BM25 (any query term matches).
+    mode='and' — conjunctive: doc must contain ALL distinct query terms
+                 (the reference's progressive-intersection semantics,
+                 DefaultTargetAssembler.java:92-111).
+    Distinct query terms are scored in ascending term order (fixed float64
+    summation order); ties broken by ascending doc_id.
+    """
+    terms = sorted(set(tokenize(query)))
+    scores: dict[int, float] = {}
+    seen_count: dict[int, int] = {}
+    n_present = 0
+    for t in terms:
+        if t not in index.postings:
+            continue
+        n_present += 1
+        ds, tfs = index.postings[t]
+        w = idf(index.n_docs, index.df[t])
+        row = np.searchsorted(index.doc_ids, ds)
+        dl = index.doclens[row].astype(np.float64)
+        tf = tfs.astype(np.float64)
+        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / index.avgdl)
+        contrib = w * (tf * (BM25_K1 + 1.0)) / denom
+        for d, c in zip(ds.tolist(), contrib.tolist()):
+            scores[d] = scores.get(d, 0.0) + c
+            seen_count[d] = seen_count.get(d, 0) + 1
+    if mode == "and":
+        need = len([t for t in terms if t in index.postings])
+        if len(terms) != n_present:
+            return []  # some term absent from corpus -> conjunction empty
+        scores = {d: s for d, s in scores.items() if seen_count[d] == need}
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]

@@ -1,0 +1,106 @@
+"""Vectorized tokenization — the engine's analogue of the reference's
+per-document term extraction (``ResidueGraph``: structure -> multiset of
+residue-pair descriptor terms, domain/structure/ResidueGraph.java:138-146).
+
+The tokenizer contract is FROZEN (FIXTURES.md §2): tokens are maximal
+``[A-Za-z_][A-Za-z0-9_]*`` runs, case-sensitive, no stemming, no stopword
+removal.  Freezing the rule is the analogue of the reference freezing its
+distance/angle binning rules (DistanceType.java:161-170) — the vocabulary is
+defined by the rule, and exactness is asserted against the oracle, not
+assumed.
+
+Two code paths, both JVM/Arrow friendly:
+
+- :func:`tokenize_expr` — pure Catalyst expression (``regexp_extract_all``),
+  whole-stage-codegen'd, used when a token *array column* is all we need.
+- :func:`term_frequencies` — ``mapInPandas`` kernel emitting
+  ``(doc_id, term, tf)`` + doclen, array-at-a-time via pandas
+  ``str.findall`` + ``explode`` + ``value_counts`` (no per-row Python).
+  This is SPIMI stage-1's map side (StrucmotifUpdate.java:327-373 analogue).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import TOKEN_PATTERN
+
+TF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("term", StringType(), False),
+        StructField("tf", LongType(), False),
+    ]
+)
+
+DOCLEN_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("doclen", LongType(), False),
+    ]
+)
+
+
+def tokenize_expr(content: Column) -> Column:
+    """Token array column via Catalyst ``regexp_extract_all`` (JVM-side,
+    codegen).  Equivalent to the frozen contract."""
+    return F.regexp_extract_all(content, F.lit(TOKEN_PATTERN), 0)
+
+
+def doclen_expr(content: Column) -> Column:
+    """Token count per document as a Catalyst expression."""
+    return F.size(tokenize_expr(content))
+
+
+def _tf_batches(
+    batches: Iterator[pd.DataFrame], pattern: str
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        toks = pdf["content"].str.findall(pattern)
+        exploded = pd.DataFrame(
+            {"doc_id": pdf["doc_id"].repeat(toks.str.len()), "term": toks.explode()}
+        ).dropna(subset=["term"])
+        if len(exploded) == 0:
+            continue
+        tf = (
+            exploded.groupby(["doc_id", "term"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        tf["doc_id"] = tf["doc_id"].astype("int64")
+        tf["tf"] = tf["tf"].astype("int64")
+        yield tf
+
+
+def term_frequencies(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """``(doc_id, content)`` -> ``(doc_id, term, tf)`` via mapInPandas.
+
+    The map side of the SPIMI build (one pass over documents, embarrassingly
+    parallel — the analogue of the reference's parallelStream over docs at
+    StrucmotifUpdate.java:209).
+    """
+    src = docs.select("doc_id", F.col(content_col).alias("content"))
+    pattern = TOKEN_PATTERN
+    return src.mapInPandas(
+        lambda it: _tf_batches(it, pattern), schema=TF_SCHEMA
+    )
+
+
+def doc_lengths(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """``(doc_id, doclen)`` — pure Catalyst, no Python."""
+    return docs.select(
+        "doc_id", doclen_expr(F.col(content_col)).cast("long").alias("doclen")
+    )

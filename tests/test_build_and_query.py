@@ -1,0 +1,161 @@
+"""End-to-end build + query vs the brute-force oracle.
+
+The analogue of the reference's golden-fixture integration tests
+(core/StructureIntegrationTest.java: exact 788-hit assertions;
+io/DefaultInvertedIndexTest.java: exact 13/241 bucket contents): build the
+index over a deterministic synthetic corpus and assert df/cf/avgdl EXACT and
+top-k rank-identical with bitwise-equal float64 scores.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from strucmotif_search_spark.build import IndexStore, build_index
+from strucmotif_search_spark.build.postings import decode_postings
+from strucmotif_search_spark.corpus import generate_corpus
+from strucmotif_search_spark.engine import SearchEngine
+from strucmotif_search_spark.oracle import bm25_topk, build_oracle
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("index")
+    docs = generate_corpus(spark, N_DOCS, seed=42, partitions=8)
+    store = IndexStore(root)
+    build_index(spark, docs, store, docs_per_shard=64, shards_per_chunk=2)
+    engine = SearchEngine(spark, store)
+    # oracle over the same corpus keyed by the engine's doc_ids
+    dm = engine.doc_map.select("doc_id", "repo", "path", "commit").toPandas()
+    src = docs.select("repo", "path", "commit", "content").toPandas()
+    merged = dm.merge(src, on=["repo", "path", "commit"])
+    oracle = build_oracle(merged["doc_id"].tolist(), merged["content"].tolist())
+    return engine, oracle, merged
+
+
+QUERIES = [
+    ("import", "or"),                      # head term (q02)
+    ("import return def", "or"),           # all-head (q08)
+    ("v_00001 v_00002", "or"),             # mid-df OR
+    ("v_00001 v_00002", "and"),            # mid-df AND intersection (q03)
+    ("v_00050 v_00100 v_00007 v_01000 v_19999", "or"),   # 5 terms (q05)
+    ("zz_absent_token", "or"),             # df=0 (q06)
+    ("zz_absent_token import", "and"),     # AND with absent term -> empty
+    ("def def def", "or"),                 # repeated term dedup (q07)
+    ("uniq_org0_repo1_0 import", "or"),    # rare + head (q04)
+    ("uniq_org0_repo1_0 import", "and"),
+]
+
+
+def test_doc_map_invariants(built, spark):
+    engine, oracle, merged = built
+    dm = engine.doc_map
+    assert dm.count() == N_DOCS
+    ids = sorted(r["doc_id"] for r in dm.select("doc_id").collect())
+    assert ids == list(range(N_DOCS))  # dense, deterministic
+    # sha256 invariant vs source content
+    import hashlib
+
+    recomputed = merged["content"].map(
+        lambda c: hashlib.sha256(c.encode()).hexdigest()
+    )
+    sha = {
+        r["doc_id"]: r["content_sha256"]
+        for r in dm.select("doc_id", "content_sha256").collect()
+    }
+    for d, h in zip(merged["doc_id"], recomputed):
+        assert sha[d] == h
+
+
+def test_stats_exact(built):
+    engine, oracle, _ = built
+    st = engine.stats.first()
+    assert st["n_docs"] == oracle.n_docs
+    assert st["sum_doclen"] == int(oracle.doclens.sum())
+    assert st["avgdl"] == oracle.avgdl
+
+
+def test_terms_df_cf_exact(built):
+    engine, oracle, _ = built
+    rows = engine.terms.collect()
+    got_df = {r["term"]: r["df"] for r in rows}
+    got_cf = {r["term"]: r["cf"] for r in rows}
+    assert got_df == oracle.df
+    assert got_cf == oracle.cf
+    # term_id is the sorted rank of the term string
+    by_id = sorted(rows, key=lambda r: r["term_id"])
+    assert [r["term"] for r in by_id] == sorted(got_df)
+    assert [r["term_id"] for r in by_id] == list(range(len(rows)))
+
+
+def test_postings_decode_matches_oracle(built, spark):
+    engine, oracle, _ = built
+    tid = {r["term"]: r["term_id"] for r in engine.terms.collect()}
+    decoded = decode_postings(engine.postings).toPandas()
+    for term in ["import", "v_00001", "uniq_org0_repo1_0"]:
+        sub = decoded[decoded["term_id"] == tid[term]].sort_values("doc_id")
+        ods, otfs = oracle.postings[term]
+        np.testing.assert_array_equal(sub["doc_id"].to_numpy(), ods)
+        np.testing.assert_array_equal(sub["tf"].to_numpy(), otfs)
+
+
+def test_block_metadata_true_maxima(built):
+    engine, _, _ = built
+    pdf = engine.postings.toPandas()
+    from strucmotif_search_spark.codec import unpack_block
+
+    for _, r in pdf.sample(n=min(200, len(pdf)), random_state=0).iterrows():
+        ids, tfs = unpack_block(bytes(r["doc_gaps"]), bytes(r["tfs"]))
+        assert r["first_doc_id"] == ids[0]
+        assert r["max_doc_id"] == ids[-1]
+        assert r["n_docs"] == ids.size
+        assert r["block_max_tf"] == tfs.max()
+        assert np.all(np.diff(ids) > 0)
+
+
+@pytest.mark.parametrize("query,mode", QUERIES)
+def test_topk_rank_identical_daat(built, spark, query, mode):
+    engine, oracle, _ = built
+    expected = bm25_topk(oracle, query, k=10, mode=mode)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(query, k=10, mode=mode, with_meta=False).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    # bitwise-equal float64 (identical summation order)
+    assert [s for _, s in got] == [s for _, s in expected]
+
+
+@pytest.mark.parametrize("query,mode", QUERIES[:6])
+def test_topk_rank_identical_naive(built, spark, query, mode):
+    engine, oracle, _ = built
+    expected = bm25_topk(oracle, query, k=10, mode=mode)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.search_naive(query, k=10, mode=mode).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (_, s_got), (_, s_exp) in zip(got, expected):
+        assert s_got == pytest.approx(s_exp, abs=1e-12)
+
+
+def test_limit_semantics(built):
+    engine, oracle, _ = built
+    full = bm25_topk(oracle, "v_00001 v_00002", k=10_000, mode="or")
+    got1 = engine.search("v_00001 v_00002", k=1, mode="or", with_meta=False).collect()
+    assert [r["doc_id"] for r in got1] == [full[0][0]]
+    gotall = engine.search(
+        "v_00001 v_00002", k=10_000, mode="or", with_meta=False
+    ).collect()
+    assert [r["doc_id"] for r in gotall] == [d for d, _ in full]
+
+
+def test_search_with_metadata(built):
+    engine, oracle, _ = built
+    hits = engine.search("import", k=5).collect()
+    assert len(hits) == 5
+    assert {"doc_id", "score", "repo", "path", "commit", "lang"} <= set(
+        hits[0].asDict()
+    )
