@@ -51,16 +51,27 @@ def build_index(
     shards_per_chunk: int = 4,
     content_col: str = "content",
     gen: str | None = None,
+    checkpoint_partials: bool = True,
 ) -> str:
     """Build (or resume building) a full index generation from a source table
     of shape (repo, path, commit, lang, content).  Returns the published gen.
 
     Pass ``gen`` to resume an interrupted build of that generation.
+
+    ``checkpoint_partials=False`` selects the fused fast path: the SPIMI
+    stage-1 output is persisted in executor memory/disk (one tokenize pass,
+    no intermediate parquet round-trip) instead of being checkpointed per
+    chunk.  Use it for fresh one-shot builds where mid-build resume
+    granularity is not needed; the published result is identical.
     """
     t0 = time.time()
     if gen is None:
         gen = store.new_gen()
     store.log(gen=gen, stage="build", status="start")
+    if not checkpoint_partials:
+        return _build_fused(
+            spark, docs, store, gen, docs_per_shard, content_col, t0
+        )
 
     # ---- stage doc_map ------------------------------------------------
     if not store.stage_done(gen, "doc_map"):
@@ -68,6 +79,8 @@ def build_index(
         store.write_table(dm, "doc_map", gen)
         n_docs = store.read_table(spark, "doc_map", gen).count()
         store.log(gen=gen, stage="doc_map", status="done", n_docs=n_docs)
+        # drop the sorted-rank persist now that doc_map is durable
+        spark.catalog.clearCache()
     doc_map = store.read_table(spark, "doc_map", gen)
 
     n_shards = doc_map.agg(F.max("shard")).first()[0] + 1
@@ -110,6 +123,7 @@ def build_index(
         store.write_table(build_terms(partials), "terms", gen)
         n_terms = store.read_table(spark, "terms", gen).count()
         store.log(gen=gen, stage="terms", status="done", n_terms=n_terms)
+        spark.catalog.clearCache()
     terms = store.read_table(spark, "terms", gen)
 
     if not store.stage_done(gen, "stats"):
@@ -161,4 +175,104 @@ def build_index(
         gen=gen, stage="commit", status="done",
         wall_ms=int((time.time() - t0) * 1000), n_chunks=n_chunks,
     )
+    return gen
+
+
+def _build_fused(
+    spark: SparkSession,
+    docs: DataFrame,
+    store: IndexStore,
+    gen: str,
+    docs_per_shard: int,
+    content_col: str,
+    t0: float,
+) -> str:
+    """One-shot fused build: exactly TWO passes over document content
+    (sha256 metadata; tokenize), no partials parquet, one persisted tf.
+
+    Key plan choices for scale:
+    - doc_id ranking runs on a keys-only projection, so the range-partition
+      sampling and shuffle never decode ``content`` (column pruning does the
+      work when the source is columnar);
+    - ``doclen`` is derived from the tokenize pass (sum of tfs per doc)
+      instead of a second regex pass over content;
+    - the ids dictionary joins back by natural key (broadcast when small,
+      sort-merge at scale — AQE decides).
+    Same published tables, byte-identical postings vs the checkpointed path.
+    """
+    from .ids import assign_sorted_rank
+
+    ids = assign_sorted_rank(
+        docs.select("repo", "path", "commit"), ["repo", "path", "commit"], "doc_id"
+    ).withColumn(
+        "shard", (F.col("doc_id") / docs_per_shard).cast("int")
+    )
+    # materialize the (small, fixed-width) ids dictionary so the content
+    # join below sees real size stats (broadcast when it fits) instead of
+    # shuffling document text against an unsized in-flight plan
+    store.write_table(ids, "ids", gen)
+    spark.catalog.clearCache()
+    ids = store.read_table(spark, "ids", gen)
+
+    docs_keyed = docs.join(ids, on=["repo", "path", "commit"])
+    tf = term_frequencies(docs_keyed, content_col=content_col).join(
+        ids.select("doc_id", "shard"), on="doc_id"
+    )
+    # DISK_ONLY: the tf run is the SPIMI spill file.  MEMORY_AND_DISK would
+    # compete with execution memory under high parallelism and silently
+    # RECOMPUTE the tokenize pass when evicted — disk persistence makes the
+    # one-tokenize guarantee unconditional (local disk on a real cluster).
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.DISK_ONLY)
+    n_postings = tf.count()  # materialize ONCE; reused 3x below
+    store.log(gen=gen, stage="partials", status="done", n_postings=n_postings,
+              checkpointed=False)
+
+    doclens = tf.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
+    meta = docs.select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.col(content_col), 256).alias("content_sha256"),
+    )
+    doc_map_df = (
+        meta.join(ids, on=["repo", "path", "commit"])
+        .join(doclens, on="doc_id", how="left")
+        .select(
+            "doc_id", "repo", "path", "commit", "lang", "content_sha256",
+            F.coalesce(F.col("doclen"), F.lit(0)).cast("long").alias("doclen"),
+            "shard",
+        )
+    )
+    store.write_table(doc_map_df, "doc_map", gen)
+    doc_map = store.read_table(spark, "doc_map", gen)
+    store.log(gen=gen, stage="doc_map", status="done")
+
+    store.write_table(build_terms(tf), "terms", gen)
+    terms = store.read_table(spark, "terms", gen)
+    store.log(gen=gen, stage="terms", status="done")
+    store.write_table(build_stats(doc_map), "stats", gen)
+    store.log(gen=gen, stage="stats", status="done")
+    store.write_table(build_norms(doc_map), "norms", gen)
+    store.log(gen=gen, stage="norms", status="done")
+
+    with_ids = tf.join(terms.select("term", "term_id"), on="term").select(
+        "shard", "term_id", "doc_id", "tf"
+    )
+    blocks = pack_postings(with_ids)
+    blocks.write.mode("overwrite").parquet(store.table_path("postings", gen))
+    store.log(gen=gen, stage="pack", status="done")
+    tf.unpersist()
+    spark.catalog.clearCache()
+
+    import json as _json
+    from pathlib import Path as _Path
+
+    (
+        _Path(store.root) / gen / "_meta.json"
+    ).write_text(_json.dumps({"docs_per_shard": docs_per_shard,
+                              "shards_per_chunk": 1, "n_chunks": 1,
+                              "n_shards": -1}))
+    store.publish(gen)
+    store.log(gen=gen, stage="commit", status="done",
+              wall_ms=int((time.time() - t0) * 1000), n_chunks=1)
     return gen

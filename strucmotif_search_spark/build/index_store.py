@@ -80,6 +80,33 @@ class IndexStore:
     def read_table(self, spark: SparkSession, name: str, gen: str | None = None) -> DataFrame:
         return spark.read.parquet(self.table_path(name, gen))
 
+    def read_postings(self, spark: SparkSession, gen: str | None = None) -> DataFrame:
+        """Resolve a generation's postings: its own files plus `_refs.json`
+        references to prior-gen files, each with an ``exclude_shards``
+        predicate (the Iceberg data-file + delete-predicate shape used by
+        incremental ADD/REMOVE)."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        gen = gen or self.current_gen()
+        base = self.root / gen / "postings"
+        refs_file = self.root / gen / "_refs.json"
+        parts = []
+        if base.exists() and any(base.iterdir()):
+            parts.append(spark.read.parquet(str(base)))
+        if refs_file.exists():
+            for ref in _json.loads(refs_file.read_text()):
+                df = spark.read.parquet(ref["path"])
+                excl = ref.get("exclude_shards", [])
+                if excl:
+                    df = df.where(~F.col("shard").isin(excl))
+                parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def partials_path(self, gen: str, chunk: int | None = None) -> str:
         p = self.root / "_partials" / gen
         if chunk is not None:

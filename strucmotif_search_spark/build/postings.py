@@ -45,7 +45,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..codec import pack_block
+from ..codec import varint_encode_with_lengths
 
 BLOCK_DOCS = 128
 
@@ -64,47 +64,124 @@ POSTINGS_SCHEMA = StructType(
 )
 
 
-def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (shard, term_id) run -> block rows.  Array-at-a-time numpy."""
-    shard = int(pdf["shard"].iloc[0])
-    term_id = int(pdf["term_id"].iloc[0])
-    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-    doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-    tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-    rows = []
-    for b, lo in enumerate(range(0, doc_ids.size, BLOCK_DOCS)):
-        ids = doc_ids[lo : lo + BLOCK_DOCS]
-        t = tfs[lo : lo + BLOCK_DOCS]
-        gaps_b, tfs_b = pack_block(ids, t)
-        rows.append(
-            (
-                shard,
-                term_id,
-                b,
-                int(ids[0]),
-                int(ids[-1]),
-                int(ids.size),
-                int(t.max()),
-                gaps_b,
-                tfs_b,
-            )
+def _pack_runs(
+    shard: np.ndarray, tid: np.ndarray, ids: np.ndarray, tfs: np.ndarray
+) -> pd.DataFrame:
+    """Vectorized block packing of rows sorted by (shard, term_id, doc_id).
+
+    Zero per-posting Python: run/block boundaries are detected with array
+    ops, per-block maxima come from ``np.maximum.reduceat``, and the varint
+    payloads for the WHOLE input are encoded in one call then sliced at
+    value boundaries per block (varint is per-value independent).  The only
+    Python loop is over *blocks* (<=1 per 128 postings) doing a bytes slice.
+    """
+    n = ids.size
+    if n == 0:
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in POSTINGS_SCHEMA.fields}
         )
+    run_start = np.empty(n, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = (tid[1:] != tid[:-1]) | (shard[1:] != shard[:-1])
+    run_idx = np.cumsum(run_start) - 1
+    run_first = np.flatnonzero(run_start)
+    idx_in_run = np.arange(n, dtype=np.int64) - run_first[run_idx]
+    block_start = (idx_in_run % BLOCK_DOCS) == 0
+    bstart = np.flatnonzero(block_start)
+    bend = np.append(bstart[1:], n)
+    nb = bstart.size
+    # block_id within each (shard, term) run
+    blk_run = run_idx[bstart]
+    blk_new_run = np.empty(nb, dtype=bool)
+    blk_new_run[0] = True
+    blk_new_run[1:] = blk_run[1:] != blk_run[:-1]
+    blk_run_first = np.flatnonzero(blk_new_run)
+    blk_run_idx = np.cumsum(blk_new_run) - 1
+    block_id = (np.arange(nb, dtype=np.int64) - blk_run_first[blk_run_idx]).astype(
+        np.int32
+    )
+    # delta gaps with absolute value at every block start
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    gaps[bstart] = ids[bstart]
+    gap_bytes, gap_lens = varint_encode_with_lengths(gaps.astype(np.uint64))
+    tf_bytes, tf_lens = varint_encode_with_lengths(tfs.astype(np.uint64))
+    gap_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(gap_lens, out=gap_off[1:])
+    tf_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tf_lens, out=tf_off[1:])
+    gv = memoryview(gap_bytes)
+    tv = memoryview(tf_bytes)
     return pd.DataFrame(
-        rows,
-        columns=[f.name for f in POSTINGS_SCHEMA.fields],
+        {
+            "shard": shard[bstart].astype(np.int32),
+            "term_id": tid[bstart].astype(np.int64),
+            "block_id": block_id,
+            "first_doc_id": ids[bstart].astype(np.int64),
+            "max_doc_id": ids[bend - 1].astype(np.int64),
+            "n_docs": (bend - bstart).astype(np.int32),
+            "block_max_tf": np.maximum.reduceat(tfs, bstart).astype(np.int32),
+            "doc_gaps": [
+                bytes(gv[gap_off[s] : gap_off[e]]) for s, e in zip(bstart, bend)
+            ],
+            "tfs": [
+                bytes(tv[tf_off[s] : tf_off[e]]) for s, e in zip(bstart, bend)
+            ],
+        }
     )
 
 
-def pack_postings(tf_with_ids: DataFrame) -> DataFrame:
+def _pack_partition(batches) -> "pd.DataFrame":
+    """mapInPandas kernel: pack a whole sorted partition, carrying the
+    trailing (possibly incomplete) (shard, term_id) run across Arrow batch
+    boundaries so runs split by batching are packed once."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        last_shard = pdf["shard"].iloc[-1]
+        last_tid = pdf["term_id"].iloc[-1]
+        tail_mask = (pdf["shard"] == last_shard) & (pdf["term_id"] == last_tid)
+        # tail is contiguous at the end because the partition is sorted
+        n_tail = int(tail_mask.to_numpy()[::-1].argmin()) or len(pdf)
+        if n_tail == len(pdf):
+            carry = pdf
+            continue
+        head = pdf.iloc[: len(pdf) - n_tail]
+        carry = pdf.iloc[len(pdf) - n_tail :]
+        yield _pack_runs(
+            head["shard"].to_numpy(),
+            head["term_id"].to_numpy(),
+            head["doc_id"].to_numpy(),
+            head["tf"].to_numpy(),
+        )
+    if carry is not None and len(carry):
+        yield _pack_runs(
+            carry["shard"].to_numpy(),
+            carry["term_id"].to_numpy(),
+            carry["doc_id"].to_numpy(),
+            carry["tf"].to_numpy(),
+        )
+
+
+def pack_postings(tf_with_ids: DataFrame, partitions: int | None = None) -> DataFrame:
     """(doc_id, term_id, tf, shard) -> packed posting blocks.
 
-    One shuffle on (shard, term_id); grouped applyInPandas packs each run.
-    Group size is bounded by docs_per_shard, so no group can straggle
-    regardless of term df.
+    One shuffle (repartition by shard) + in-partition sort, then a
+    partition-level vectorized packer.  Head terms cannot straggle: a term's
+    postings are bounded per shard by docs_per_shard, and a whole shard is
+    one task's worth of sorted input, not one groupBy group per term.
     """
-    return tf_with_ids.select("shard", "term_id", "doc_id", "tf").groupBy(
-        "shard", "term_id"
-    ).applyInPandas(_pack_group, schema=POSTINGS_SCHEMA)
+    src = tf_with_ids.select("shard", "term_id", "doc_id", "tf")
+    arranged = (
+        src.repartition(partitions, "shard")
+        if partitions
+        else src.repartition("shard")
+    ).sortWithinPartitions("shard", "term_id", "doc_id")
+    return arranged.mapInPandas(_pack_partition, schema=POSTINGS_SCHEMA)
 
 
 DECODED_SCHEMA = StructType(

@@ -28,14 +28,18 @@ def varint_encode(values: np.ndarray) -> bytes:
     Vectorized: computes each value's byte length, then fills one byte
     position at a time across all values (<=10 iterations for uint64).
     """
+    return varint_encode_with_lengths(values)[0]
+
+
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Like :func:`varint_encode`, but also returns each value's encoded byte
+    length, so callers can slice the concatenated encoding at value
+    boundaries (varint is per-value independent: the encoding of a
+    concatenated array IS the concatenation of the encodings)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # byte length of each value: ceil(bits/7), minimum 1
+        return b"", np.empty(0, dtype=np.int64)
     bits = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
-    # bit_length via log2 is unsafe for large ints; use frexp-free approach:
-    # repeatedly shift — but that is a loop over 10 positions max, fine.
     tmp = v.copy()
     for _ in range(10):
         more = tmp > 0
@@ -58,8 +62,7 @@ def varint_encode(values: np.ndarray) -> bytes:
         shifted[remaining] >>= np.uint64(7)
         remaining = remaining[has_more]
         pos += 1
-    _ = nz  # nz retained for clarity; encoding handles zeros via max(bits,1)
-    return out.tobytes()
+    return out.tobytes(), nbytes
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -32,13 +32,16 @@ class SearchEngine:
         self.doc_map = store.read_table(spark, "doc_map")
         self.terms = store.read_table(spark, "terms")
         self.stats = store.read_table(spark, "stats")
-        self.norms = store.read_table(spark, "norms")
-        self.postings = store.read_table(spark, "postings")
-        self._stats_row = None
+        # norms: one compact row per shard — cache (the reference similarly
+        # keeps per-doc data resident, DefaultStructureDataProvider.java:202)
+        self.norms = store.read_table(spark, "norms").cache()
+        self.postings = store.read_postings(spark)
+        # global stats are a single row — resolve once at engine construction
+        self._stats_row = self.stats.first()
 
     # ---- planning ------------------------------------------------------
     def plan(self, query: str) -> QueryPlan:
-        return plan_query(query, self.terms, self.stats)
+        return plan_query(query, self.terms, self.stats, stats_row=self._stats_row)
 
     # ---- search ----------------------------------------------------------
     def search(

@@ -56,9 +56,14 @@ def idf(n_docs: int, df: int) -> float:
     return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
 
-def plan_query(query: str, terms_table: DataFrame, stats_table: DataFrame) -> QueryPlan:
+def plan_query(
+    query: str,
+    terms_table: DataFrame,
+    stats_table: DataFrame,
+    stats_row=None,
+) -> QueryPlan:
     distinct = sorted(set(tokenize(query)))
-    st = stats_table.first()
+    st = stats_row if stats_row is not None else stats_table.first()
     n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
     if not distinct:
         return QueryPlan([], [], [], [], 0, n_docs, avgdl)

@@ -1,0 +1,293 @@
+"""Incremental ADD / REMOVE — the reference's update operations re-expressed
+as copy-on-write generations with file-level reuse.
+
+Reference semantics being preserved (update/StrucmotifUpdate.java):
+- ADD: delta-plus = requested − known (E1, :493-503); new docIDs minted
+  monotonically after the current max (DefaultStructureIndexProvider
+  .java:114-122); only buckets touched by new docs are rewritten, untouched
+  buckets are carried over (selectFromBundle, DefaultInvertedIndex
+  .java:281-305); publication is atomic (:260-264).
+- REMOVE: delta-minus = known ∩ requested (E2, :510-523); docIDs are retired,
+  not reused immediately; affected buckets get CSR surgery
+  (removeByKey, DefaultInvertedIndex.java:472-510).
+- Consistency: index docIDs − doc_map docIDs must be empty (E5 orphan purge,
+  :536-546).
+
+File-level reuse here: a generation's postings = its own new chunk files
+PLUS references to prior-gen files carried in ``_refs.json``, each ref with
+an ``exclude_shards`` predicate (the Iceberg delete-file shape).  Only shards
+actually touched by the delta are repacked; everything else is reused
+by reference — at 10^12 scale this is the difference between an O(delta)
+commit and an O(corpus) rewrite.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..build.doc_map import DOC_KEY
+from ..build.ids import assign_sorted_rank
+from ..build.index_store import IndexStore
+from ..build.norms import build_norms
+from ..build.postings import decode_postings, pack_postings
+from ..build.terms import build_stats
+from ..tokenizer import term_frequencies
+
+
+def read_current_postings(spark: SparkSession, store: IndexStore) -> DataFrame:
+    return store.read_postings(spark)
+
+
+def _meta(store: IndexStore, gen: str) -> dict:
+    return json.loads((Path(store.root) / gen / "_meta.json").read_text())
+
+
+def _carry_refs(store: IndexStore, old_gen: str, exclude_shards: list[int]) -> list:
+    """New gen references the old gen's own files and transitively its refs,
+    each with the new exclusions appended."""
+    refs = [
+        {
+            "path": str(Path(store.root) / old_gen / "postings"),
+            "exclude_shards": sorted(exclude_shards),
+        }
+    ]
+    old_refs = Path(store.root) / old_gen / "_refs.json"
+    if old_refs.exists():
+        for r in json.loads(old_refs.read_text()):
+            refs.append(
+                {
+                    "path": r["path"],
+                    "exclude_shards": sorted(
+                        set(r.get("exclude_shards", [])) | set(exclude_shards)
+                    ),
+                }
+            )
+    return refs
+
+
+def add_documents(
+    spark: SparkSession,
+    store: IndexStore,
+    new_docs: DataFrame,
+    content_col: str = "content",
+) -> str:
+    """ADD: index the unknown subset of ``new_docs`` into a new generation.
+
+    Touches only the shards that receive new documents (normally just the
+    tail shard + fresh shards, since new doc_ids are minted after max).
+    Returns the published generation name.
+    """
+    t0 = time.time()
+    old_gen = store.current_gen()
+    meta = _meta(store, old_gen)
+    dps = meta["docs_per_shard"]
+    doc_map = store.read_table(spark, "doc_map")
+    terms = store.read_table(spark, "terms")
+
+    gen = store.new_gen()
+    store.log(gen=gen, stage="add", status="start", base=old_gen)
+
+    # E1 delta-plus: requested − known (left-anti on the natural key)
+    unknown = new_docs.join(doc_map.select(*DOC_KEY), on=DOC_KEY, how="left_anti")
+    max_id = doc_map.agg(F.max("doc_id")).first()[0]
+    ids = assign_sorted_rank(
+        unknown.select(*DOC_KEY), DOC_KEY, "doc_id", start=max_id + 1
+    ).withColumn("shard", (F.col("doc_id") / dps).cast("int"))
+    store.write_table(ids, "ids", gen)
+    spark.catalog.clearCache()
+    ids = store.read_table(spark, "ids", gen)
+
+    affected = [r["shard"] for r in ids.select("shard").distinct().collect()]
+    if not affected:  # nothing new — republish old tables untouched
+        for t in ("doc_map", "terms", "stats", "norms"):
+            store.write_table(store.read_table(spark, t, old_gen), t, gen)
+        (Path(store.root) / gen / "_refs.json").write_text(
+            json.dumps(_carry_refs(store, old_gen, []))
+        )
+        (Path(store.root) / gen / "_meta.json").write_text(json.dumps(meta))
+        store.publish(gen)
+        store.log(gen=gen, stage="add", status="done", n_added=0)
+        return gen
+
+    # tokenize only the new docs
+    tf_new = term_frequencies(
+        unknown.join(ids, on=DOC_KEY), content_col=content_col
+    ).join(ids.select("doc_id", "shard"), on="doc_id").persist()
+    tf_new.count()
+
+    # doc_map: old ∪ new (doclen from the tokenize pass; sha from content)
+    new_rows = (
+        unknown.select(
+            *DOC_KEY, "lang", F.sha2(F.col(content_col), 256).alias("content_sha256")
+        )
+        .join(ids, on=DOC_KEY)
+        .join(
+            tf_new.groupBy("doc_id").agg(F.sum("tf").alias("doclen")),
+            on="doc_id",
+            how="left",
+        )
+        .select(
+            "doc_id", *DOC_KEY, "lang", "content_sha256",
+            F.coalesce(F.col("doclen"), F.lit(0)).cast("long").alias("doclen"),
+            "shard",
+        )
+    )
+    store.write_table(doc_map.unionByName(new_rows), "doc_map", gen)
+    doc_map_new = store.read_table(spark, "doc_map", gen)
+
+    # terms: exact df/cf merge; brand-new terms ranked after the old max id
+    delta = tf_new.groupBy("term").agg(
+        F.count("*").alias("df_add"), F.sum("tf").alias("cf_add")
+    )
+    merged = terms.join(delta, on="term", how="full_outer")
+    known_terms = merged.where(F.col("term_id").isNotNull()).select(
+        "term",
+        "term_id",
+        (F.col("df") + F.coalesce("df_add", F.lit(0))).alias("df"),
+        (F.col("cf") + F.coalesce("cf_add", F.lit(0))).alias("cf"),
+    )
+    max_tid = terms.agg(F.max("term_id")).first()[0]
+    fresh = merged.where(F.col("term_id").isNull()).select(
+        "term", F.col("df_add").alias("df"), F.col("cf_add").alias("cf")
+    )
+    fresh_ranked = assign_sorted_rank(fresh, ["term"], "term_id", start=max_tid + 1)
+    store.write_table(
+        known_terms.unionByName(fresh_ranked.select("term", "term_id", "df", "cf")),
+        "terms",
+        gen,
+    )
+    terms_new = store.read_table(spark, "terms", gen)
+    spark.catalog.clearCache()
+
+    store.write_table(build_stats(doc_map_new), "stats", gen)
+    store.write_table(build_norms(doc_map_new), "norms", gen)
+
+    # postings: repack ONLY affected shards = old decoded rows ∪ new tf
+    old_affected = decode_postings(
+        store.read_postings(spark, old_gen).where(F.col("shard").isin(affected))
+    ).withColumn("shard", (F.col("doc_id") / dps).cast("int"))
+    new_with_ids = tf_new.join(terms_new.select("term", "term_id"), on="term").select(
+        "shard", "term_id", "doc_id", "tf"
+    )
+    union = old_affected.select("shard", "term_id", "doc_id", "tf").unionByName(
+        new_with_ids
+    )
+    pack_postings(union).write.mode("overwrite").parquet(
+        str(Path(store.root) / gen / "postings" / "chunk=add")
+    )
+    (Path(store.root) / gen / "_refs.json").write_text(
+        json.dumps(_carry_refs(store, old_gen, affected))
+    )
+    (Path(store.root) / gen / "_meta.json").write_text(json.dumps(meta))
+    tf_new.unpersist()
+    store.publish(gen)
+    n_added = ids.count()
+    store.log(
+        gen=gen, stage="add", status="done", n_added=n_added,
+        affected_shards=len(affected), wall_ms=int((time.time() - t0) * 1000),
+    )
+    return gen
+
+
+def remove_documents(
+    spark: SparkSession, store: IndexStore, keys: DataFrame
+) -> str:
+    """REMOVE: delete the known subset of ``keys`` (natural-key rows) from a
+    new generation.  Affected shards get posting surgery; df/cf shrink
+    exactly; retired doc_ids are not reused."""
+    t0 = time.time()
+    old_gen = store.current_gen()
+    meta = _meta(store, old_gen)
+    dps = meta["docs_per_shard"]
+    doc_map = store.read_table(spark, "doc_map")
+    terms = store.read_table(spark, "terms")
+
+    gen = store.new_gen()
+    store.log(gen=gen, stage="remove", status="start", base=old_gen)
+
+    # E2 delta-minus: known ∩ requested
+    victims = doc_map.join(keys.select(*DOC_KEY), on=DOC_KEY, how="left_semi")
+    affected = [r["shard"] for r in victims.select("shard").distinct().collect()]
+    victim_ids = victims.select("doc_id")
+
+    store.write_table(
+        doc_map.join(victim_ids, on="doc_id", how="left_anti"), "doc_map", gen
+    )
+    doc_map_new = store.read_table(spark, "doc_map", gen)
+
+    old_affected = decode_postings(
+        store.read_postings(spark, old_gen).where(F.col("shard").isin(affected))
+    )
+    removed_tf = old_affected.join(victim_ids, on="doc_id", how="left_semi")
+    survivors = old_affected.join(victim_ids, on="doc_id", how="left_anti")
+
+    # terms: exact decrement (E3 df/cf surgery); drop df<=0 rows
+    dec = removed_tf.groupBy("term_id").agg(
+        F.count("*").alias("df_sub"), F.sum("tf").alias("cf_sub")
+    )
+    terms_new = (
+        terms.join(dec, on="term_id", how="left")
+        .select(
+            "term",
+            "term_id",
+            (F.col("df") - F.coalesce("df_sub", F.lit(0))).alias("df"),
+            (F.col("cf") - F.coalesce("cf_sub", F.lit(0))).alias("cf"),
+        )
+        .where(F.col("df") > 0)
+    )
+    store.write_table(terms_new, "terms", gen)
+    store.write_table(build_stats(doc_map_new), "stats", gen)
+    store.write_table(build_norms(doc_map_new), "norms", gen)
+
+    surviving_blocks = pack_postings(
+        survivors.withColumn("shard", (F.col("doc_id") / dps).cast("int")).select(
+            "shard", "term_id", "doc_id", "tf"
+        )
+    )
+    surviving_blocks.write.mode("overwrite").parquet(
+        str(Path(store.root) / gen / "postings" / "chunk=remove")
+    )
+    (Path(store.root) / gen / "_refs.json").write_text(
+        json.dumps(_carry_refs(store, old_gen, affected))
+    )
+    (Path(store.root) / gen / "_meta.json").write_text(json.dumps(meta))
+    store.publish(gen)
+    store.log(
+        gen=gen, stage="remove", status="done",
+        affected_shards=len(affected), wall_ms=int((time.time() - t0) * 1000),
+    )
+    return gen
+
+
+def verify_consistency(spark: SparkSession, store: IndexStore) -> dict:
+    """E5 orphan check + df/cf cross-check; returns counts (all zeros = OK).
+
+    Mirrors the reference's lingering-key reconciliation
+    (StrucmotifUpdate.java:536-546 / DefaultInvertedIndex.reportKnownKeys).
+    """
+    doc_map = store.read_table(spark, "doc_map")
+    terms = store.read_table(spark, "terms")
+    decoded = decode_postings(read_current_postings(spark, store))
+    orphans = (
+        decoded.select("doc_id")
+        .distinct()
+        .join(doc_map.select("doc_id"), on="doc_id", how="left_anti")
+        .count()
+    )
+    recomputed = decoded.groupBy("term_id").agg(
+        F.count("*").alias("df2"), F.sum("tf").alias("cf2")
+    )
+    bad_terms = (
+        terms.join(recomputed, on="term_id", how="full_outer")
+        .where(
+            (F.coalesce("df", F.lit(-1)) != F.coalesce("df2", F.lit(-2)))
+            | (F.coalesce("cf", F.lit(-1)) != F.coalesce("cf2", F.lit(-2)))
+        )
+        .count()
+    )
+    return {"orphan_doc_ids": orphans, "inconsistent_terms": bad_terms}
