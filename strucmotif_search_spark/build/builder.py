@@ -26,7 +26,9 @@ cannot double-count (the reference achieves the same with whole-bundle swap).
 
 from __future__ import annotations
 
+import json
 import time
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -157,9 +159,6 @@ def build_index(
         )
 
     # ---- commit ---------------------------------------------------------
-    import json
-    from pathlib import Path
-
     (Path(store.root) / gen / "_meta.json").write_text(
         json.dumps(
             {
@@ -218,13 +217,15 @@ def _build_fused(
     tf = term_frequencies(docs_keyed, content_col=content_col).join(
         ids.select("doc_id", "shard"), on="doc_id"
     )
-    # DISK_ONLY: the tf run is the SPIMI spill file.  MEMORY_AND_DISK would
-    # compete with execution memory under high parallelism and silently
-    # RECOMPUTE the tokenize pass when evicted — disk persistence makes the
-    # one-tokenize guarantee unconditional (local disk on a real cluster).
+    # Shard-partition BEFORE persisting: the persisted runs then feed stage 2
+    # with zero further shuffle (the term_id dictionary join below broadcasts
+    # and preserves partitioning).  DISK_ONLY: the tf run is the SPIMI spill
+    # file; MEMORY_AND_DISK would compete with execution memory under high
+    # parallelism and silently RECOMPUTE the tokenize pass when evicted —
+    # disk persistence makes the one-tokenize guarantee unconditional.
     from pyspark import StorageLevel
 
-    tf = tf.persist(StorageLevel.DISK_ONLY)
+    tf = tf.repartition("shard").persist(StorageLevel.DISK_ONLY)
     n_postings = tf.count()  # materialize ONCE; reused 3x below
     store.log(gen=gen, stage="partials", status="done", n_postings=n_postings,
               checkpointed=False)
@@ -255,23 +256,32 @@ def _build_fused(
     store.write_table(build_norms(doc_map), "norms", gen)
     store.log(gen=gen, stage="norms", status="done")
 
-    with_ids = tf.join(terms.select("term", "term_id"), on="term").select(
+    # dictionary join: broadcast while the vocab is broadcastable (checked by
+    # on-disk size) so the shard partitioning survives into the packer; a
+    # giant vocab falls back to a shuffled join + repartition
+    terms_bytes = sum(
+        f.stat().st_size
+        for f in Path(store.table_path("terms", gen)).glob("*.parquet")
+    )
+    dict_df = terms.select("term", "term_id")
+    small_vocab = terms_bytes < 256 * 1024 * 1024
+    if small_vocab:
+        dict_df = F.broadcast(dict_df)
+    with_ids = tf.join(dict_df, on="term").select(
         "shard", "term_id", "doc_id", "tf"
     )
-    blocks = pack_postings(with_ids)
+    blocks = pack_postings(with_ids, already_partitioned=small_vocab)
     blocks.write.mode("overwrite").parquet(store.table_path("postings", gen))
     store.log(gen=gen, stage="pack", status="done")
     tf.unpersist()
     spark.catalog.clearCache()
 
-    import json as _json
-    from pathlib import Path as _Path
-
+    n_shards = int(doc_map.agg(F.max("shard")).first()[0]) + 1
     (
-        _Path(store.root) / gen / "_meta.json"
-    ).write_text(_json.dumps({"docs_per_shard": docs_per_shard,
-                              "shards_per_chunk": 1, "n_chunks": 1,
-                              "n_shards": -1}))
+        Path(store.root) / gen / "_meta.json"
+    ).write_text(json.dumps({"docs_per_shard": docs_per_shard,
+                             "shards_per_chunk": 1, "n_chunks": 1,
+                             "n_shards": n_shards}))
     store.publish(gen)
     store.log(gen=gen, stage="commit", status="done",
               wall_ms=int((time.time() - t0) * 1000), n_chunks=1)

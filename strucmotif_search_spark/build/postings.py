@@ -167,20 +167,30 @@ def _pack_partition(batches) -> "pd.DataFrame":
         )
 
 
-def pack_postings(tf_with_ids: DataFrame, partitions: int | None = None) -> DataFrame:
+def pack_postings(
+    tf_with_ids: DataFrame,
+    partitions: int | None = None,
+    already_partitioned: bool = False,
+) -> DataFrame:
     """(doc_id, term_id, tf, shard) -> packed posting blocks.
 
     One shuffle (repartition by shard) + in-partition sort, then a
     partition-level vectorized packer.  Head terms cannot straggle: a term's
     postings are bounded per shard by docs_per_shard, and a whole shard is
     one task's worth of sorted input, not one groupBy group per term.
+
+    ``already_partitioned=True`` skips the repartition when the input is
+    already hash-partitioned by ``shard`` (e.g. the build persists tf
+    shard-partitioned so stage 2 is shuffle-free).
     """
     src = tf_with_ids.select("shard", "term_id", "doc_id", "tf")
-    arranged = (
-        src.repartition(partitions, "shard")
-        if partitions
-        else src.repartition("shard")
-    ).sortWithinPartitions("shard", "term_id", "doc_id")
+    if not already_partitioned:
+        src = (
+            src.repartition(partitions, "shard")
+            if partitions
+            else src.repartition("shard")
+        )
+    arranged = src.sortWithinPartitions("shard", "term_id", "doc_id")
     return arranged.mapInPandas(_pack_partition, schema=POSTINGS_SCHEMA)
 
 

@@ -45,17 +45,42 @@ class SearchEngine:
 
     # ---- search ----------------------------------------------------------
     def search(
-        self, query: str, k: int = 10, mode: str = "or", with_meta: bool = True
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        with_meta: bool = True,
+        doc_predicate=None,
+        prune_shards: bool | None = None,
     ) -> DataFrame:
+        """BM25 top-k via the DAAT path.
+
+        ``doc_predicate``: optional Column over doc_map rows (e.g.
+        ``F.col('lang') == 'py'``) — the search-space filter (P3 analogue,
+        DefaultTargetAssembler.java:159-162).  Implemented by masking norms:
+        docs outside the predicate get doclen 0 in the scorer's dense array
+        and are never scored, so the filter applies BEFORE top-k.
+        ``prune_shards``: shard-level block-max pruning; default = on when
+        the index has enough shards for a 2-phase plan to pay off.
+        """
         plan = self.plan(query)
+        norms = self.norms
+        if doc_predicate is not None:
+            from .build.norms import build_norms
+
+            norms = build_norms(self.doc_map.where(doc_predicate))
+        n_shards = self.meta.get("n_shards") or 0
+        if prune_shards is None:
+            prune_shards = n_shards > 64
         hits = bm25_topk_daat(
             self.spark,
             self.postings,
-            self.norms,
+            norms,
             plan,
             docs_per_shard=self.meta["docs_per_shard"],
             k=k,
             mode=mode,
+            prune_shards=prune_shards,
         )
         return self._materialize(hits, k) if with_meta else hits
 

@@ -121,7 +121,10 @@ def _make_scorer(plan: QueryPlan, docs_per_shard: int, k: int, mode: str):
             matched[idx] += 1
 
         need = n_terms if mode == "and" else 1
-        hit = np.flatnonzero(matched >= need)
+        # dense_len > 0 doubles as the doc-filter mask: norms rows are built
+        # from the (optionally predicate-filtered) doc dictionary, so a doc
+        # absent from norms must not be scored (P1-P3 filters apply pre-top-k)
+        hit = np.flatnonzero((matched >= need) & (dense_len > 0))
         if hit.size == 0:
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
@@ -139,6 +142,13 @@ def _make_scorer(plan: QueryPlan, docs_per_shard: int, k: int, mode: str):
     return score_shard
 
 
+def term_upper_bound(idf: float, max_tf: int, k1: float, b: float) -> float:
+    """Safe BM25 upper bound for a term given a tf ceiling: the dl -> 0 limit
+    of the normalization term (score is decreasing in dl)."""
+    tf = float(max_tf)
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b))
+
+
 def bm25_topk_daat(
     spark: SparkSession,
     postings: DataFrame,
@@ -147,17 +157,91 @@ def bm25_topk_daat(
     docs_per_shard: int,
     k: int = 10,
     mode: str = "or",
+    prune_shards: bool = True,
+    probe_shards: int = 8,
 ) -> DataFrame:
-    """Top-k (doc_id, score) via sharded DAAT.  Deterministic."""
+    """Top-k (doc_id, score) via sharded DAAT.  Deterministic.
+
+    ``prune_shards`` enables the engine's block-max pruning lifted to shard
+    granularity — WAND re-shaped for Spark's execution model (classic WAND
+    drives per-term cursors from a single thread; in a distributed plan the
+    equivalent skip decision must be made per *task*):
+
+      phase 0: scan only the posting-block METADATA (term_id, shard,
+               block_max_tf — column pruning keeps payloads unread) and
+               compute each shard's score upper bound
+               ub(shard) = sum_t max_block_ub(t, shard);
+      phase 1: fully score the ``probe_shards`` most promising shards ->
+               threshold theta = k-th best score found;
+      phase 2: score only the remaining shards with ub > theta.
+
+    Exactness: ub is a true upper bound (dl->0 limit, true block-max tf), so
+    a pruned shard cannot contain a top-k doc; results are identical to the
+    unpruned plan.  Within-shard AND queries additionally skip blocks by
+    doc-range (cursor-style skip pointers).
+    """
     if plan.empty_or or (mode == "and" and plan.empty_and):
         return spark.createDataFrame([], _RESULT_SCHEMA)
     blocks = postings.where(F.col("term_id").isin(plan.term_ids)).select(
         "shard", "term_id", "first_doc_id", "max_doc_id", "doc_gaps", "tfs"
     )
     scorer = _make_scorer(plan, docs_per_shard, k, mode)
-    scored = (
-        blocks.groupBy("shard")
-        .cogroup(norms.groupBy("shard"))
-        .applyInPandas(scorer, schema=_RESULT_SCHEMA)
+
+    def score_blocks(b: DataFrame) -> DataFrame:
+        return (
+            b.groupBy("shard")
+            .cogroup(norms.groupBy("shard"))
+            .applyInPandas(scorer, schema=_RESULT_SCHEMA)
+        )
+
+    if not prune_shards:
+        scored = score_blocks(blocks)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # phase 0: shard upper bounds from block metadata only (payload unread)
+    ub_map = {
+        tid: w for tid, w in zip(plan.term_ids, plan.idfs)
+    }
+    meta = (
+        postings.where(F.col("term_id").isin(plan.term_ids))
+        .groupBy("shard", "term_id")
+        .agg(F.max("block_max_tf").alias("mtf"))
     )
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    idf_lit = F.create_map(
+        *[x for tid, w in ub_map.items() for x in (F.lit(tid), F.lit(w))]
+    )
+    tfub = (
+        idf_lit[F.col("term_id")]
+        * (F.col("mtf") * (plan.k1 + 1.0))
+        / (F.col("mtf") + plan.k1 * (1.0 - plan.b))
+    )
+    shard_ub = (
+        meta.withColumn("tub", tfub)
+        .groupBy("shard")
+        .agg(F.sum("tub").alias("ub"), F.count("*").alias("n_terms_present"))
+    )
+    if mode == "and":
+        shard_ub = shard_ub.where(F.col("n_terms_present") == len(plan.term_ids))
+    # phase 1: probe the most promising shards (tiny collect: probe_shards rows)
+    probe = [
+        r["shard"]
+        for r in shard_ub.orderBy(F.desc("ub"), F.asc("shard"))
+        .limit(probe_shards)
+        .collect()
+    ]
+    if not probe:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    first = score_blocks(blocks.where(F.col("shard").isin(probe))).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    ).limit(k)
+    rows = first.collect()
+    theta = rows[-1]["score"] if len(rows) >= k else float("-inf")
+    # phase 2: only shards whose upper bound beats theta can change the top-k
+    remaining = shard_ub.where(
+        (~F.col("shard").isin(probe)) & (F.col("ub") > theta)
+    ).select("shard")
+    second = score_blocks(
+        blocks.join(remaining, on="shard", how="left_semi")
+    )
+    merged = spark.createDataFrame(rows, _RESULT_SCHEMA).unionByName(second)
+    return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

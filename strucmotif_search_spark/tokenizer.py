@@ -65,24 +65,50 @@ def doclen_expr(content: Column) -> Column:
 def _tf_batches(
     batches: Iterator[pd.DataFrame], pattern: str
 ) -> Iterator[pd.DataFrame]:
+    """Arrow-native tf kernel: zero per-token Python objects.
+
+    ``findall('[A-Za-z_][A-Za-z0-9_]*')`` is computed as the exactly
+    equivalent split-form: split on ``[^A-Za-z0-9_]+`` (maximal token-char
+    runs), strip any leading digits, drop empties.  Tokens stay in Arrow C
+    buffers; per-(doc, term) counting runs on dictionary codes in numpy
+    (one uint64 key = row_index<<32 | code).  Python strings materialize
+    only for the far-smaller set of unique (doc, term) pairs.  This is what
+    keeps the map stage memory-bandwidth-light at scale (48M token objects
+    per batch would thrash the allocator and stall every core).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        toks = pdf["content"].str.findall(pattern)
-        exploded = pd.DataFrame(
-            {"doc_id": pdf["doc_id"].repeat(toks.str.len()), "term": toks.explode()}
-        ).dropna(subset=["term"])
-        if len(exploded) == 0:
+        content = pa.array(pdf["content"], type=pa.large_string())
+        toks = pc.split_pattern_regex(content, pattern="[^A-Za-z0-9_]+")
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        flat = pc.replace_substring_regex(flat, pattern="^[0-9]+", replacement="")
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        parent = parent.filter(mask)
+        if len(flat) == 0:
             continue
-        tf = (
-            exploded.groupby(["doc_id", "term"], sort=False)
-            .size()
-            .rename("tf")
-            .reset_index()
+        d = pc.dictionary_encode(flat)
+        codes = d.indices.to_numpy().astype(np.int64)
+        rows = parent.to_numpy()
+        key = (rows.astype(np.uint64) << np.uint64(32)) | codes.astype(np.uint64)
+        uniq, counts = np.unique(key, return_counts=True)
+        urows = (uniq >> np.uint64(32)).astype(np.int64)
+        ucodes = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        doc_ids = pdf["doc_id"].to_numpy()[urows]
+        terms = d.dictionary.take(pa.array(ucodes)).to_pandas()
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids.astype("int64"),
+                "term": terms.to_numpy(),
+                "tf": counts.astype("int64"),
+            }
         )
-        tf["doc_id"] = tf["doc_id"].astype("int64")
-        tf["tf"] = tf["tf"].astype("int64")
-        yield tf
 
 
 def term_frequencies(docs: DataFrame, content_col: str = "content") -> DataFrame:
