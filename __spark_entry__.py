@@ -83,10 +83,10 @@ def _orig_doc_id(df: DataFrame) -> DataFrame:
     )
 
 
-def _bm25_query(terms: str, k: int, mode: str) -> Callable:
+def _bm25_query(terms: str, k: int, mode: str, **search_kw) -> Callable:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = _engine(spark, sf_dir)
-        hits = eng.search(terms, k=k, mode=mode, with_meta=True)
+        hits = eng.search(terms, k=k, mode=mode, with_meta=True, **search_kw)
         return _orig_doc_id(hits).select(
             "doc_id", F.round("score", 4).alias("score")
         )
@@ -420,6 +420,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: _bm25_query(" ".join(terms), k, mode)
         for name, (terms, k, mode) in _BM25_CASES.items()
     }
+    # shard-level block-max pruning forced ON: must be bit-for-bit the same
+    # result as the unpruned plan (true upper bounds), checked vs the oracle
+    q["ii_bm25_pruned_topk"] = _bm25_query(
+        "value table", 10, "or", prune_shards=True
+    )
+    # search-space predicate (P3): filter applies BEFORE top-k
+    q["ii_bm25_source_filter"] = _bm25_query(
+        "table query", 10, "or", doc_predicate=F.col("repo") == "src3"
+    )
     q.update(
         {
             "ii_terms_df_cf": _q_terms_table,
@@ -461,6 +470,17 @@ def oracle_sql() -> dict[str, str]:
         name: _bm25_sql(terms, k, mode)
         for name, (terms, k, mode) in _BM25_CASES.items()
     }
+    sql["ii_bm25_pruned_topk"] = _bm25_sql(["value", "table"], 10, "or")
+    sql["ii_bm25_source_filter"] = (
+        _bm25_sql(["table", "query"], 10, "or")
+        .replace(
+            "SELECT doc_id, round(s, 4) AS score\nFROM scores",
+            "SELECT scores.doc_id, round(s, 4) AS score\n"
+            "FROM scores JOIN documents d ON d.doc_id = scores.doc_id "
+            "AND d.source = 'src3'",
+        )
+        .replace("ORDER BY s DESC, doc_id ASC", "ORDER BY s DESC, scores.doc_id ASC")
+    )
     sql.update(
         {
             "ii_terms_df_cf": f"""

@@ -76,6 +76,8 @@ def windowed_event_counts(
     value double).  Works identically under readStream (late rows beyond the
     watermark are dropped; in-window state is bounded) and in batch mode
     (used by the oracle comparison)."""
+    # watermarks require TIMESTAMP (with zone); parquet NTZ columns are cast
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")

@@ -1,0 +1,174 @@
+"""Operator exactness tests: dedup family vs brute-force references,
+similarity vs exact cosine, multimodal plumbing, text stats."""
+
+import hashlib
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from strucmotif_search_spark import TOKEN_PATTERN
+from strucmotif_search_spark.operators import dedup, multimodal, similarity, textstats
+
+TOK = re.compile(TOKEN_PATTERN)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (3, "import numpy as np def main return np"),
+        (4, "completely different content about spark engines"),
+        (5, "import numpy as np def main return np extra tail"),  # near 3
+        (6, ""),
+        (7, "a b c d e f g h i j k l m n o p q r s t"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def _shingles(text, n=3):
+    toks = TOK.findall(text)
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _jaccard(a, b):
+    A, B = _shingles(a), _shingles(b)
+    return len(A & B) / len(A | B) if A | B else 0.0
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r["canonical_id"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 0 and out[2] == 0  # identical texts share canonical id
+    assert out[1] == 1 and out[3] == 3
+
+
+def test_ngram_jaccard_matches_bruteforce(docs):
+    rows = docs.collect()
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    expected = {}
+    ids = sorted(texts)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                jac = _jaccard(texts[i], texts[j])
+                if jac >= 0.3:
+                    expected[(i, j)] = jac
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k] == pytest.approx(expected[k], abs=1e-12)
+    assert (0, 2) in got  # exact dup pair found with jaccard 1.0
+    assert got[(0, 2)] == 1.0
+
+
+def test_minhash_lsh_no_false_positives_and_finds_exact(docs):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=8, threshold=0.3
+        ).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    # verification stage guarantees zero false positives
+    for (a, b), jac in got.items():
+        assert jac == pytest.approx(_jaccard(texts[a], texts[b]), abs=1e-12)
+        assert jac >= 0.3
+    # identical docs collide in every band -> always recalled
+    assert (0, 2) in got
+
+
+def test_simhash_properties(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[2]  # identical text -> identical fingerprint
+    ham_near = bin(sh[0] ^ sh[1]).count("1")
+    ham_far = bin(sh[0] ^ sh[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 2)] == 0
+
+
+def test_cosine_topk_exact_and_lsh_recall(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    exact = [
+        r["vec_id"]
+        for r in similarity.cosine_topk_bruteforce(df, q, k=10).collect()
+    ]
+    # numpy ground truth
+    v = vecs.astype(np.float64)
+    cos = (v @ np.asarray(q)) / (
+        np.linalg.norm(v, axis=1) * np.linalg.norm(q)
+    )
+    order = np.lexsort((np.arange(200), -cos))[:10]
+    assert exact == list(order)
+    # LSH: results are a subset of the corpus ranked exactly; recall@10 > 0
+    lsh = [
+        r["vec_id"]
+        for r in similarity.lsh_cosine_topk(df, q, k=10, n_planes=6).collect()
+    ]
+    assert lsh[0] == 0  # the query vector itself is always in its own bucket
+    assert len(set(lsh) & set(exact)) >= 3
+
+
+def test_embedding_near_dup_pairs(spark):
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(16).astype(np.float32)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base * 1.001]),  # same direction -> cos ~ 1
+        (2, [float(x) for x in rng.standard_normal(16)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(df, tau=0.99).collect()
+    }
+    assert (0, 1) in got
+
+
+def test_textstats_exact(docs):
+    rows = docs.collect()
+    prof = {r["doc_id"]: r for r in textstats.text_profile(docs).collect()}
+    for r in rows:
+        toks = TOK.findall(r["text"])
+        assert prof[r["doc_id"]]["n_tokens"] == len(toks)
+        norm = " ".join(TOK.findall(r["text"].lower()))
+        assert prof[r["doc_id"]]["fingerprint"] == hashlib.md5(
+            norm.encode()
+        ).hexdigest()
+    lang = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs).collect()}
+    assert lang[0] == "en"    # 'the' x2
+    assert lang[3] == "py"    # import/def/return markers
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthesize_media(spark, 30, seed=3)
+    assert media.count() == 30
+    feats = multimodal.extract_features(media, fake_decode=True).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert len(r["digest"]) == 64
+    # determinism: same payload -> same features
+    again = multimodal.extract_features(media, fake_decode=True).collect()
+    a = {r["media_id"]: r["feature"] for r in feats}
+    b = {r["media_id"]: r["feature"] for r in again}
+    assert a == b
+    # real decode is an explicit stub
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", fake=False)
+    plan = multimodal.frame_sample_plan(media, every_ms=60000)
+    vids = media.where(F.col("kind") == "video").count()
+    assert plan.select("media_id").distinct().count() == vids
