@@ -23,6 +23,36 @@ from .query.daat import bm25_topk_daat
 from .query.planner import QueryPlan, plan_query
 
 
+def collect_with_timeout(spark: SparkSession, df: DataFrame, timeout_s: float):
+    """Run ``df.collect()`` under a job group; cancel the group and raise
+    TimeoutError if it exceeds ``timeout_s`` (no lingering tasks)."""
+    import threading
+    import uuid
+
+    group = f"timed-{uuid.uuid4().hex[:8]}"
+    sc = spark.sparkContext
+    out: list = []
+    err: list = []
+
+    def run() -> None:
+        sc.setJobGroup(group, "timed query", interruptOnCancel=True)
+        try:
+            out.append(df.collect())
+        except Exception as e:  # noqa: BLE001 — surfaced to caller below
+            err.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        sc.cancelJobGroup(group)
+        t.join(10)
+        raise TimeoutError(f"query exceeded {timeout_s}s; job group cancelled")
+    if err:
+        raise err[0]
+    return out[0]
+
+
 class SearchEngine:
     def __init__(self, spark: SparkSession, store: IndexStore):
         self.spark = spark
@@ -97,6 +127,34 @@ class SearchEngine:
             mode=mode,
         )
         return self._materialize(hits, k) if with_meta else hits
+
+    def classify(
+        self,
+        docs: DataFrame,
+        library: dict[str, str],
+        mode: str = "and",
+        min_score: float = 0.0,
+        content_col: str = "content",
+    ) -> DataFrame:
+        """Classify documents against a library of stored queries (the
+        ``detectMotifs`` analogue, Strucmotif.java:35-37 / SURVEY.md §3.2)."""
+        from .query.classify import classify_documents
+
+        return classify_documents(
+            self, docs, library, mode=mode, min_score=min_score,
+            content_col=content_col,
+        )
+
+    def search_with_timeout(
+        self, query: str, timeout_s: float, k: int = 10, mode: str = "or", **kw
+    ):
+        """Collect search results with a hard timeout; on expiry the job
+        group is cancelled (no lingering tasks) and TimeoutError raises —
+        the analogue of the reference's future.get(timeout) + interrupt
+        protocol (DefaultStrucmotifRuntime.java:244-278, QueryTimeoutTest).
+        """
+        df = self.search(query, k=k, mode=mode, with_meta=False, **kw)
+        return collect_with_timeout(self.spark, df, timeout_s)
 
     def _materialize(self, hits: DataFrame, k: int) -> DataFrame:
         """Late materialization: join metadata only for the <=k winners
