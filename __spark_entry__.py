@@ -69,6 +69,8 @@ def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
             store,
             docs_per_shard=512,
             shards_per_chunk=1 << 20,  # single chunk at gate scale
+            checkpoint_partials=False,  # fused fast path
+            with_positions=True,        # positional payloads (phrase queries)
         )
         _ENGINES[key] = SearchEngine(spark, store)
     return _ENGINES[key]
@@ -429,6 +431,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ii_bm25_source_filter"] = _bm25_query(
         "table query", 10, "or", doc_predicate=F.col("repo") == "src3"
     )
+
+    def _phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _engine(spark, sf_dir)
+        hits = eng.phrase_search("the table", k=10000)
+        withmeta = (
+            F.broadcast(hits)
+            .join(eng.doc_map.select("doc_id", "path"), on="doc_id")
+        )
+        return withmeta.select(
+            F.col("path").cast("long").alias("doc_id"), "phrase_tf"
+        )
+
+    q["ii_phrase_count"] = _phrase
     q.update(
         {
             "ii_terms_df_cf": _q_terms_table,
@@ -471,6 +486,19 @@ def oracle_sql() -> dict[str, str]:
         for name, (terms, k, mode) in _BM25_CASES.items()
     }
     sql["ii_bm25_pruned_topk"] = _bm25_sql(["value", "table"], 10, "or")
+    sql["ii_phrase_count"] = f"""
+WITH tokarr AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM tokarr WHERE len(toks) >= 2
+)
+SELECT doc_id, count(*)::BIGINT AS phrase_tf
+FROM idx WHERE toks[i] = 'the' AND toks[i+1] = 'table'
+GROUP BY doc_id
+"""
     sql["ii_bm25_source_filter"] = (
         _bm25_sql(["table", "query"], 10, "or")
         .replace(

@@ -54,6 +54,7 @@ def build_index(
     content_col: str = "content",
     gen: str | None = None,
     checkpoint_partials: bool = True,
+    with_positions: bool = False,
 ) -> str:
     """Build (or resume building) a full index generation from a source table
     of shape (repo, path, commit, lang, content).  Returns the published gen.
@@ -72,7 +73,13 @@ def build_index(
     store.log(gen=gen, stage="build", status="start")
     if not checkpoint_partials:
         return _build_fused(
-            spark, docs, store, gen, docs_per_shard, content_col, t0
+            spark, docs, store, gen, docs_per_shard, content_col, t0,
+            with_positions=with_positions,
+        )
+    if with_positions:
+        raise ValueError(
+            "positional indexing is supported on the fused path "
+            "(checkpoint_partials=False)"
         )
 
     # ---- stage doc_map ------------------------------------------------
@@ -185,6 +192,7 @@ def _build_fused(
     docs_per_shard: int,
     content_col: str,
     t0: float,
+    with_positions: bool = False,
 ) -> str:
     """One-shot fused build: exactly TWO passes over document content
     (sha256 metadata; tokenize), no partials parquet, one persisted tf.
@@ -214,9 +222,9 @@ def _build_fused(
     ids = store.read_table(spark, "ids", gen)
 
     docs_keyed = docs.join(ids, on=["repo", "path", "commit"])
-    tf = term_frequencies(docs_keyed, content_col=content_col).join(
-        ids.select("doc_id", "shard"), on="doc_id"
-    )
+    tf = term_frequencies(
+        docs_keyed, content_col=content_col, with_positions=with_positions
+    ).join(ids.select("doc_id", "shard"), on="doc_id")
     # Shard-partition BEFORE persisting: the persisted runs then feed stage 2
     # with zero further shuffle (the term_id dictionary join below broadcasts
     # and preserves partitioning).  DISK_ONLY: the tf run is the SPIMI spill
@@ -267,10 +275,13 @@ def _build_fused(
     small_vocab = terms_bytes < 256 * 1024 * 1024
     if small_vocab:
         dict_df = F.broadcast(dict_df)
-    with_ids = tf.join(dict_df, on="term").select(
-        "shard", "term_id", "doc_id", "tf"
+    tf_cols = ["shard", "term_id", "doc_id", "tf"] + (
+        ["positions"] if with_positions else []
     )
-    blocks = pack_postings(with_ids, already_partitioned=small_vocab)
+    with_ids = tf.join(dict_df, on="term").select(*tf_cols)
+    blocks = pack_postings(
+        with_ids, already_partitioned=small_vocab, with_positions=with_positions
+    )
     # cluster output files by term_id so parquet row-group min/max stats can
     # skip for selective queries (the ffindex-offset-table role; narrow sort
     # over block rows only, ~1/128 of postings)
@@ -286,7 +297,8 @@ def _build_fused(
         Path(store.root) / gen / "_meta.json"
     ).write_text(json.dumps({"docs_per_shard": docs_per_shard,
                              "shards_per_chunk": 1, "n_chunks": 1,
-                             "n_shards": n_shards}))
+                             "n_shards": n_shards,
+                             "with_positions": with_positions}))
     store.publish(gen)
     store.log(gen=gen, stage="commit", status="done",
               wall_ms=int((time.time() - t0) * 1000), n_chunks=1)

@@ -63,9 +63,22 @@ POSTINGS_SCHEMA = StructType(
     ]
 )
 
+# positional flavor: per block, the concatenation over its docs (in doc
+# order) of each doc's delta-encoded position list (tf values delimit the
+# per-doc runs, so no extra counts are stored) — the occurrence-payload
+# analogue of ArrayBucket.identifierData (ArrayBucket.java:34)
+POSTINGS_POS_SCHEMA = StructType(
+    POSTINGS_SCHEMA.fields
+    + [StructField("pos_data", BinaryType(), False)]
+)
+
 
 def _pack_runs(
-    shard: np.ndarray, tid: np.ndarray, ids: np.ndarray, tfs: np.ndarray
+    shard: np.ndarray,
+    tid: np.ndarray,
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    positions: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Vectorized block packing of rows sorted by (shard, term_id, doc_id).
 
@@ -76,9 +89,10 @@ def _pack_runs(
     Python loop is over *blocks* (<=1 per 128 postings) doing a bytes slice.
     """
     n = ids.size
+    out_schema = POSTINGS_POS_SCHEMA if positions is not None else POSTINGS_SCHEMA
     if n == 0:
         return pd.DataFrame(
-            {f.name: pd.Series(dtype="object") for f in POSTINGS_SCHEMA.fields}
+            {f.name: pd.Series(dtype="object") for f in out_schema.fields}
         )
     run_start = np.empty(n, dtype=bool)
     run_start[0] = True
@@ -113,29 +127,67 @@ def _pack_runs(
     np.cumsum(tf_lens, out=tf_off[1:])
     gv = memoryview(gap_bytes)
     tv = memoryview(tf_bytes)
-    return pd.DataFrame(
-        {
-            "shard": shard[bstart].astype(np.int32),
-            "term_id": tid[bstart].astype(np.int64),
-            "block_id": block_id,
-            "first_doc_id": ids[bstart].astype(np.int64),
-            "max_doc_id": ids[bend - 1].astype(np.int64),
-            "n_docs": (bend - bstart).astype(np.int32),
-            "block_max_tf": np.maximum.reduceat(tfs, bstart).astype(np.int32),
-            "doc_gaps": [
-                bytes(gv[gap_off[s] : gap_off[e]]) for s, e in zip(bstart, bend)
-            ],
-            "tfs": [
-                bytes(tv[tf_off[s] : tf_off[e]]) for s, e in zip(bstart, bend)
-            ],
-        }
-    )
+    cols = {
+        "shard": shard[bstart].astype(np.int32),
+        "term_id": tid[bstart].astype(np.int64),
+        "block_id": block_id,
+        "first_doc_id": ids[bstart].astype(np.int64),
+        "max_doc_id": ids[bend - 1].astype(np.int64),
+        "n_docs": (bend - bstart).astype(np.int32),
+        "block_max_tf": np.maximum.reduceat(tfs, bstart).astype(np.int32),
+        "doc_gaps": [
+            bytes(gv[gap_off[s] : gap_off[e]]) for s, e in zip(bstart, bend)
+        ],
+        "tfs": [
+            bytes(tv[tf_off[s] : tf_off[e]]) for s, e in zip(bstart, bend)
+        ],
+    }
+    if positions is not None:
+        # flatten all position lists (posting order), delta-encode with a
+        # reset at each doc's first position, varint once, slice per block
+        flat = (
+            np.concatenate(positions)
+            if len(positions)
+            else np.empty(0, dtype=np.int64)
+        ).astype(np.int64)
+        pcounts = tfs.astype(np.int64)
+        pstarts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(pcounts, out=pstarts[1:])
+        pgaps = np.empty(flat.size, dtype=np.int64)
+        if flat.size:
+            pgaps[0] = flat[0]
+            np.subtract(flat[1:], flat[:-1], out=pgaps[1:])
+            pgaps[pstarts[:-1]] = flat[pstarts[:-1]]
+        pos_bytes, pos_lens = varint_encode_with_lengths(pgaps.astype(np.uint64))
+        pos_off = np.zeros(flat.size + 1, dtype=np.int64)
+        np.cumsum(pos_lens, out=pos_off[1:])
+        pv = memoryview(pos_bytes)
+        cols["pos_data"] = [
+            bytes(pv[pos_off[pstarts[s]] : pos_off[pstarts[e]]])
+            for s, e in zip(bstart, bend)
+        ]
+    return pd.DataFrame(cols)
 
 
 def _pack_partition(batches) -> "pd.DataFrame":
     """mapInPandas kernel: pack a whole sorted partition, carrying the
     trailing (possibly incomplete) (shard, term_id) run across Arrow batch
     boundaries so runs split by batching are packed once."""
+
+    def emit(frame: pd.DataFrame) -> pd.DataFrame:
+        pos = (
+            frame["positions"].to_numpy()
+            if "positions" in frame.columns
+            else None
+        )
+        return _pack_runs(
+            frame["shard"].to_numpy(),
+            frame["term_id"].to_numpy(),
+            frame["doc_id"].to_numpy(),
+            frame["tf"].to_numpy(),
+            positions=pos,
+        )
+
     carry: pd.DataFrame | None = None
     for pdf in batches:
         if len(pdf) == 0:
@@ -152,25 +204,16 @@ def _pack_partition(batches) -> "pd.DataFrame":
             continue
         head = pdf.iloc[: len(pdf) - n_tail]
         carry = pdf.iloc[len(pdf) - n_tail :]
-        yield _pack_runs(
-            head["shard"].to_numpy(),
-            head["term_id"].to_numpy(),
-            head["doc_id"].to_numpy(),
-            head["tf"].to_numpy(),
-        )
+        yield emit(head)
     if carry is not None and len(carry):
-        yield _pack_runs(
-            carry["shard"].to_numpy(),
-            carry["term_id"].to_numpy(),
-            carry["doc_id"].to_numpy(),
-            carry["tf"].to_numpy(),
-        )
+        yield emit(carry)
 
 
 def pack_postings(
     tf_with_ids: DataFrame,
     partitions: int | None = None,
     already_partitioned: bool = False,
+    with_positions: bool = False,
 ) -> DataFrame:
     """(doc_id, term_id, tf, shard) -> packed posting blocks.
 
@@ -183,7 +226,10 @@ def pack_postings(
     already hash-partitioned by ``shard`` (e.g. the build persists tf
     shard-partitioned so stage 2 is shuffle-free).
     """
-    src = tf_with_ids.select("shard", "term_id", "doc_id", "tf")
+    cols = ["shard", "term_id", "doc_id", "tf"] + (
+        ["positions"] if with_positions else []
+    )
+    src = tf_with_ids.select(*cols)
     if not already_partitioned:
         src = (
             src.repartition(partitions, "shard")
@@ -191,7 +237,10 @@ def pack_postings(
             else src.repartition("shard")
         )
     arranged = src.sortWithinPartitions("shard", "term_id", "doc_id")
-    return arranged.mapInPandas(_pack_partition, schema=POSTINGS_SCHEMA)
+    return arranged.mapInPandas(
+        _pack_partition,
+        schema=POSTINGS_POS_SCHEMA if with_positions else POSTINGS_SCHEMA,
+    )
 
 
 DECODED_SCHEMA = StructType(
@@ -236,3 +285,23 @@ def decode_postings(blocks: DataFrame) -> DataFrame:
     return blocks.select("term_id", "doc_gaps", "tfs").mapInPandas(
         _unpack, schema=DECODED_SCHEMA
     )
+
+
+def unpack_positions(pos_data: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of the pos_data packing: per-doc ascending position arrays.
+    ``tfs`` delimits the per-doc runs (tf == number of positions)."""
+    from ..codec import varint_decode
+
+    gaps = varint_decode(pos_data).astype(np.int64)
+    counts = np.asarray(tfs, dtype=np.int64)
+    starts = np.zeros(counts.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    if gaps.size == 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(counts.size)]
+    c = np.cumsum(gaps)
+    seg = np.zeros(gaps.size, dtype=np.int64)
+    seg[starts[1:-1]] = 1
+    seg = np.cumsum(seg)
+    base = (c[starts[:-1]] - gaps[starts[:-1]])[seg]
+    absolute = c - base
+    return np.split(absolute, starts[1:-1])

@@ -128,6 +128,19 @@ class SearchEngine:
         )
         return self._materialize(hits, k) if with_meta else hits
 
+    def phrase_search(self, phrase: str, k: int = 10) -> DataFrame:
+        """Exact-sequence phrase query over a positional index (build with
+        ``with_positions=True``) — the positional-join analogue
+        (TargetStructure.java:78-111).  Returns (doc_id, phrase_tf)."""
+        if not self.meta.get("with_positions"):
+            raise ValueError(
+                "phrase_search requires a positional index "
+                "(build_index(..., with_positions=True))"
+            )
+        from .query.phrase import phrase_topk
+
+        return phrase_topk(self.spark, self.postings, self.terms, phrase, k=k)
+
     def classify(
         self,
         docs: DataFrame,

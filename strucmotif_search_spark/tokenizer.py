@@ -43,6 +43,20 @@ TF_SCHEMA = StructType(
     ]
 )
 
+# positional flavor: token ordinals within the document, ascending — the
+# analogue of the reference's per-doc occurrence payload
+# (ResiduePairIdentifier positions in each bucket, ArrayBucket.java:34)
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+TFP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("term", StringType(), False),
+        StructField("tf", LongType(), False),
+        StructField("positions", ArrayType(LongType(), False), False),
+    ]
+)
+
 DOCLEN_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
@@ -63,7 +77,7 @@ def doclen_expr(content: Column) -> Column:
 
 
 def _tf_batches(
-    batches: Iterator[pd.DataFrame], pattern: str
+    batches: Iterator[pd.DataFrame], pattern: str, with_positions: bool = False
 ) -> Iterator[pd.DataFrame]:
     """Arrow-native tf kernel: zero per-token Python objects.
 
@@ -97,31 +111,64 @@ def _tf_batches(
         codes = d.indices.to_numpy().astype(np.int64)
         rows = parent.to_numpy()
         key = (rows.astype(np.uint64) << np.uint64(32)) | codes.astype(np.uint64)
-        uniq, counts = np.unique(key, return_counts=True)
+        if not with_positions:
+            uniq, counts = np.unique(key, return_counts=True)
+            urows = (uniq >> np.uint64(32)).astype(np.int64)
+            ucodes = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            doc_ids = pdf["doc_id"].to_numpy()[urows]
+            terms = d.dictionary.take(pa.array(ucodes)).to_pandas()
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids.astype("int64"),
+                    "term": terms.to_numpy(),
+                    "tf": counts.astype("int64"),
+                }
+            )
+            continue
+        # token ordinal within its doc: arange minus the doc's first index
+        row_change = np.empty(rows.size, dtype=bool)
+        row_change[0] = True
+        row_change[1:] = rows[1:] != rows[:-1]
+        row_starts = np.flatnonzero(row_change)
+        row_group = np.cumsum(row_change) - 1
+        ordinals = np.arange(rows.size, dtype=np.int64) - row_starts[row_group]
+        # stable sort by (row, code): ordinals stay ascending per pair
+        order = np.argsort(key, kind="stable")
+        skey = key[order]
+        spos = ordinals[order]
+        uniq, starts, counts = np.unique(skey, return_index=True, return_counts=True)
         urows = (uniq >> np.uint64(32)).astype(np.int64)
         ucodes = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
         doc_ids = pdf["doc_id"].to_numpy()[urows]
         terms = d.dictionary.take(pa.array(ucodes)).to_pandas()
+        positions = np.split(spos, starts[1:])
         yield pd.DataFrame(
             {
                 "doc_id": doc_ids.astype("int64"),
                 "term": terms.to_numpy(),
                 "tf": counts.astype("int64"),
+                "positions": positions,
             }
         )
 
 
-def term_frequencies(docs: DataFrame, content_col: str = "content") -> DataFrame:
-    """``(doc_id, content)`` -> ``(doc_id, term, tf)`` via mapInPandas.
+def term_frequencies(
+    docs: DataFrame, content_col: str = "content", with_positions: bool = False
+) -> DataFrame:
+    """``(doc_id, content)`` -> ``(doc_id, term, tf[, positions])`` via
+    mapInPandas.
 
     The map side of the SPIMI build (one pass over documents, embarrassingly
     parallel — the analogue of the reference's parallelStream over docs at
-    StrucmotifUpdate.java:209).
+    StrucmotifUpdate.java:209).  ``with_positions`` also emits each term's
+    ascending token ordinals (the occurrence-payload analogue,
+    ArrayBucket.java:34).
     """
     src = docs.select("doc_id", F.col(content_col).alias("content"))
     pattern = TOKEN_PATTERN
     return src.mapInPandas(
-        lambda it: _tf_batches(it, pattern), schema=TF_SCHEMA
+        lambda it: _tf_batches(it, pattern, with_positions),
+        schema=TFP_SCHEMA if with_positions else TF_SCHEMA,
     )
 
 
