@@ -155,7 +155,10 @@ def build_index(
         with_ids = part.join(term_ids, on="term").select(
             "shard", "term_id", "doc_id", "tf"
         )
-        blocks = pack_postings(with_ids)
+        blocks = pack_postings(
+            with_ids,
+            partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
+        )
         blocks.sortWithinPartitions("term_id", "block_id").write.mode(
             "overwrite"
         ).parquet(store.postings_chunk_path(gen, chunk))
@@ -225,16 +228,17 @@ def _build_fused(
     tf = term_frequencies(
         docs_keyed, content_col=content_col, with_positions=with_positions
     ).join(ids.select("doc_id", "shard"), on="doc_id")
-    # Shard-partition BEFORE persisting: the persisted runs then feed stage 2
-    # with zero further shuffle (the term_id dictionary join below broadcasts
-    # and preserves partitioning).  DISK_ONLY: the tf run is the SPIMI spill
-    # file; MEMORY_AND_DISK would compete with execution memory under high
-    # parallelism and silently RECOMPUTE the tokenize pass when evicted —
-    # disk persistence makes the one-tokenize guarantee unconditional.
-    from pyspark import StorageLevel
-
-    tf = tf.repartition("shard").persist(StorageLevel.DISK_ONLY)
-    n_postings = tf.count()  # materialize ONCE; reused 3x below
+    # Spill the SPIMI stage-1 runs as parquet with a map-only write (the ids
+    # joins broadcast, so nothing shuffles here).  A parquet round-trip beats
+    # a DISK_ONLY .persist() measurably: persisted DataFrame blocks go
+    # through the columnar-cache serializer and are re-read per downstream
+    # job, while parquet is written once, column-pruned on every reader, and
+    # the count below is satisfied from footer metadata.  The single shard
+    # shuffle this build needs happens inside pack_postings.
+    tf_path = store.partials_path(gen, 0)
+    tf.write.mode("overwrite").parquet(tf_path)
+    tf = spark.read.parquet(tf_path)
+    n_postings = tf.count()  # parquet metadata only — no scan
     store.log(gen=gen, stage="partials", status="done", n_postings=n_postings,
               checkpointed=False)
 
@@ -279,8 +283,15 @@ def _build_fused(
         ["positions"] if with_positions else []
     )
     with_ids = tf.join(dict_df, on="term").select(*tf_cols)
+    # the tf parquet read-back carries no partitioning guarantee (splits can
+    # land mid-shard), so pack_postings performs the build's one shard
+    # shuffle — narrow rows only, document text never crosses the wire.
+    # Partition count is pinned explicitly: AQE's byte-based coalescing
+    # would squeeze this small-but-CPU-heavy (python varint) stage into a
+    # handful of tasks and serialize the packer at any core count.
+    pack_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     blocks = pack_postings(
-        with_ids, already_partitioned=small_vocab, with_positions=with_positions
+        with_ids, partitions=pack_parts, with_positions=with_positions
     )
     # cluster output files by term_id so parquet row-group min/max stats can
     # skip for selective queries (the ffindex-offset-table role; narrow sort
@@ -289,7 +300,6 @@ def _build_fused(
         "overwrite"
     ).parquet(store.table_path("postings", gen))
     store.log(gen=gen, stage="pack", status="done")
-    tf.unpersist()
     spark.catalog.clearCache()
 
     n_shards = int(doc_map.agg(F.max("shard")).first()[0]) + 1
