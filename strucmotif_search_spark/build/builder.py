@@ -62,10 +62,10 @@ def build_index(
     Pass ``gen`` to resume an interrupted build of that generation.
 
     ``checkpoint_partials=False`` selects the fused fast path: the SPIMI
-    stage-1 output is persisted in executor memory/disk (one tokenize pass,
-    no intermediate parquet round-trip) instead of being checkpointed per
-    chunk.  Use it for fresh one-shot builds where mid-build resume
-    granularity is not needed; the published result is identical.
+    stage-1 output is spilled once to a scratch parquet that is deleted after
+    the pack stage (one tokenize pass, no durable partials) instead of being
+    checkpointed per chunk.  Use it for fresh one-shot builds where mid-build
+    resume granularity is not needed; the published result is identical.
     """
     t0 = time.time()
     if gen is None:
@@ -198,7 +198,9 @@ def _build_fused(
     with_positions: bool = False,
 ) -> str:
     """One-shot fused build: exactly TWO passes over document content
-    (sha256 metadata; tokenize), no partials parquet, one persisted tf.
+    (sha256 metadata; tokenize).  The SPIMI stage-1 tf table is spilled once
+    as a scratch parquet and DELETED after the pack stage — the published
+    generation contains only the durable tables.
 
     Key plan choices for scale:
     - doc_id ranking runs on a keys-only projection, so the range-partition
@@ -240,7 +242,7 @@ def _build_fused(
     tf = spark.read.parquet(tf_path)
     n_postings = tf.count()  # parquet metadata only — no scan
     store.log(gen=gen, stage="partials", status="done", n_postings=n_postings,
-              checkpointed=False)
+              checkpointed=False, scratch=True)
 
     doclens = tf.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
     meta = docs.select(
@@ -301,6 +303,12 @@ def _build_fused(
     ).parquet(store.table_path("postings", gen))
     store.log(gen=gen, stage="pack", status="done")
     spark.catalog.clearCache()
+    # the tf spill is scratch, not a published table: drop it now so a fused
+    # build leaves only durable tables behind (on tmpfs stores a leaked spill
+    # is resident RAM, which distorts anything measured after it)
+    import shutil as _shutil
+
+    _shutil.rmtree(tf_path, ignore_errors=True)
 
     n_shards = int(doc_map.agg(F.max("shard")).first()[0]) + 1
     (

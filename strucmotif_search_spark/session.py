@@ -77,7 +77,19 @@ def get_spark(
     # slot keeps 32 concurrent parquet/shuffle writers out of GC collapse
     # (measured: a 16g fixed heap ran one 32-task stage at 413s of GC; the
     # same stage at 8 tasks spent 0.6s in GC).
-    mem = os.environ.get("SPARK_DRIVER_MEM", f"{max(cores, 4) * 768}m")
+    # Cap the default heap at ~half of physical RAM: -Xms==-Xmx with
+    # AlwaysPreTouch commits (and touches) the whole heap at startup, so an
+    # uncapped per-core default on a small-memory host would OOM the JVM
+    # before any workload ran.
+    default_mb = max(cores, 4) * 768
+    try:
+        phys_mb = (
+            os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") // (1 << 20)
+        )
+        default_mb = min(default_mb, max(phys_mb // 2, 1024))
+    except (ValueError, OSError):
+        pass
+    mem = os.environ.get("SPARK_DRIVER_MEM", f"{default_mb}m")
     # Fixed-size heap (-Xms == -Xmx) + a collector that never uncommits:
     # each heap page faults in exactly once for the JVM's lifetime and is
     # never reported back to the host (see _ALLOC_ENV comment).  G1's
