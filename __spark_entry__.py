@@ -141,6 +141,58 @@ tok AS (
 )"""
 
 
+# expanded-BM25 oracle (A4 query expansion): each base term + its synonyms
+# form one scoring group; tf = sum of member tfs, df = max member df, one
+# idf per group — replayed in SQL exactly as the engine scores it
+def _bm25_expanded_sql(
+    expansions: dict[str, list[str]], k: int, mode: str
+) -> str:
+    pairs = []
+    for base, syns in sorted(expansions.items()):
+        for m in sorted({base, *syns}):
+            pairs.append(f"('{m}','{base}')")
+    grp_vals = ",".join(pairs)
+    and_filter = (
+        f"HAVING count(*) = {len(expansions)}" if mode == "and" else ""
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+grp(term, gkey) AS (VALUES {grp_vals}),
+tdf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+gdf AS (
+  SELECT g.gkey, max(coalesce(tdf.df, 0)) AS df
+  FROM grp g LEFT JOIN tdf ON tdf.term = g.term
+  GROUP BY g.gkey
+),
+gtf AS (
+  SELECT tf.doc_id, g.gkey, sum(tf.tf) AS tf
+  FROM tf JOIN grp g ON tf.term = g.term
+  GROUP BY tf.doc_id, g.gkey
+),
+contrib AS (
+  SELECT gtf.doc_id,
+         ln((st.n - gdf.df + 0.5) / (gdf.df + 0.5) + 1.0)
+           * gtf.tf * 2.2
+           / (gtf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM gtf
+  JOIN gdf ON gtf.gkey = gdf.gkey
+  JOIN dl ON gtf.doc_id = dl.doc_id
+  CROSS JOIN st
+),
+scores AS (
+  SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id {and_filter}
+)
+SELECT doc_id, round(s, 4) AS score
+FROM scores ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
+
+
 # --------------------------------------------------------------------------
 # inverted-index engine queries (the core of SURVEY.md §2)
 # --------------------------------------------------------------------------
@@ -201,22 +253,66 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_shingle_df deliberately tiny at gate scale (corpus max df is 7) so
+    # the hot-shingle candidate cap — the 100 TB skew guard — is actually
+    # exercised; the oracle replays the same capped candidate generation
     return dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=0.2, n=3
+        _docs(spark, sf_dir), threshold=0.2, n=3, max_shingle_df=5
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only gate (LSH banding is not ANSI-SQL practical); exactness of the
-    # verify stage is covered by tests/test_operators.py against brute force
+    # value-gated: the whole pipeline is deterministically md5-derived, so
+    # the DuckDB oracle replays signatures -> banding -> bucket cap ->
+    # verify exactly.  max_bucket_size=2 is tiny on purpose (max bucket at
+    # sf0.01 is 3) so the degenerate-bucket guard runs at gate scale.
     return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), num_hashes=16, bands=8, threshold=0.2
+        _docs(spark, sf_dir), num_hashes=16, bands=8, threshold=0.2,
+        max_bucket_size=2,
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=10).select(
         "doc_a", "doc_b", "hamming"
+    )
+
+
+_CLASSIFY_LIBRARY = {"q_cust": "customer table", "q_stream": "stream batch"}
+
+
+def _q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted querying (detectMotifs analogue): every doc scored against a
+    broadcast library of stored queries using the index's global stats."""
+    eng = _engine(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    out = eng.classify(docs, _CLASSIFY_LIBRARY, mode="and")
+    return out.select(
+        "doc_id", "query_id", F.round("score", 4).alias("score"), "n_matched"
+    )
+
+
+def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction plumbing over real Arrow batches: media
+    payloads derived from the documents table (so DuckDB can replay digest +
+    size); the deterministic fake decoder stands in for the image kernel
+    (stubbed — no image libs in this container; multimodal.py:92-106)."""
+    from strucmotif_search_spark.operators import multimodal
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("text/plain").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = multimodal.extract_features(media, fake_decode=True)
+    return feats.select(
+        F.col("media_id").alias("doc_id"), "n_bytes", "digest"
     )
 
 
@@ -254,8 +350,14 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the scale path: LSH-bucketed candidate join (no cartesian product);
+    # the oracle replays the hyperplane signs + bucket join exactly, so this
+    # gates values, not just rows.  cosine_knn_pairs (O(n^2)) remains the
+    # recall oracle in tests/test_operators.py only.
+    # tau/n_planes chosen so the sf0.01 gate exercises BOTH the bucket join
+    # (non-trivial candidate pruning) and the verify filter (~138 rows)
     emb = _embeddings(spark, sf_dir)
-    return similarity.cosine_knn_pairs(emb, tau=0.5).select(
+    return similarity.embedding_near_dup_pairs(emb, tau=0.3, n_planes=4).select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     )
 
@@ -266,6 +368,166 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_cosine_topk(
         emb.where(F.col("vec_id") != 0), [float(x) for x in qvec], k=10, n_planes=6
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+# --------------------------------------------------------------------------
+# oracle SQL generators for the hash-derived pipelines (minhash / simhash /
+# hyperplane LSH).  Every constant the engine uses (affine minhash params,
+# plane coefficients) is deterministic and seeded, so the oracle inlines the
+# SAME constants and replays the pipeline in ANSI SQL: these gates check
+# values, not just row counts.  DuckDB's ('0x'||substr(md5(x),1,8))::BIGINT
+# equals Spark's conv(substring(md5(x),1,8),16,10) (verified bit-exact).
+# --------------------------------------------------------------------------
+
+_SHINGLE_CTE = f"""
+tokarr AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+  FROM tokarr
+),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM idx
+)"""
+
+
+def _minhash_lsh_sql(
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.2,
+    seed: int = 42, max_bucket_size: int | None = None,
+) -> str:
+    p = (1 << 31) - 1
+    r = num_hashes // bands
+    params = dedup._minhash_params(num_hashes, seed)
+    vals = ",".join(f"({i},{a},{b})" for i, (a, b) in enumerate(params))
+    bucket_cap = (
+        f"""
+bsz AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
+kept AS (
+  SELECT b.* FROM bands b JOIN bsz USING (band, key)
+  WHERE n <= {max_bucket_size}
+),"""
+        if max_bucket_size is not None
+        else """
+kept AS (SELECT * FROM bands),"""
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+x AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {p} AS x
+  FROM sh
+),
+params(lane, a, b) AS (VALUES {vals}),
+sig AS (
+  SELECT doc_id, lane, min((x * a + b) % {p}) AS h
+  FROM x CROSS JOIN params GROUP BY doc_id, lane
+),
+bands AS (
+  SELECT doc_id, lane // {r} AS band,
+         string_agg(h::VARCHAR, ',' ORDER BY lane) AS key
+  FROM sig GROUP BY doc_id, lane // {r}
+),{bucket_cap}
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, count(*) AS n_common
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       round(n_common::DOUBLE / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common::DOUBLE / (sa.sz + sb.sz - n_common) >= {threshold}
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 10) -> str:
+    votes = []
+    for i in range(64):
+        h = "h1" if i < 32 else "h2"
+        votes.append(
+            f"sum(CASE WHEN ({h} & {1 << (i % 32)}) != 0 THEN 1 ELSE -1 END)"
+            f" AS v{i}"
+        )
+    lo = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << (i - 32)}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(32, 64)
+    )
+    # the oracle is deliberately brute-force over ALL pairs: by pigeonhole
+    # the engine's segment-collision candidates cover every pair with
+    # hamming <= max_hamming, so equality here also proves that recall claim
+    return f"""
+WITH {_TOK_CTE},
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(term), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(reverse(term)), 1, 8))::BIGINT AS h2
+  FROM tok
+),
+votes AS (SELECT doc_id, {", ".join(votes)} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, ({lo}) AS lo, ({hi}) AS hi FROM votes)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INTEGER
+         AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {max_hamming}
+"""
+
+
+def _lsh_bucket_sql_expr(n_planes: int, seed: int = 42, dim: int = 64) -> str:
+    planes = similarity._hyperplanes(dim, n_planes, seed)
+    return " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(c)) for c in plane)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+
+
+def _lsh_topk_sql(n_planes: int = 6, k: int = 10, seed: int = 42) -> str:
+    probe_xors = ", ".join(f"({1 << i})" for i in range(n_planes))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+buck AS (SELECT vec_id, v, ({_lsh_bucket_sql_expr(n_planes, seed)}) AS bucket FROM e),
+qb AS (SELECT bucket AS qsig, v AS qv FROM buck WHERE vec_id = 0),
+probes AS (
+  SELECT qsig AS b FROM qb
+  UNION
+  SELECT xor(qsig, m) AS b FROM qb CROSS JOIN (VALUES {probe_xors}) t(m)
+)
+SELECT b.vec_id, round(list_cosine_similarity(b.v, qb.qv), 4)::DOUBLE AS cosine
+FROM buck b CROSS JOIN qb
+WHERE b.vec_id != 0 AND b.bucket IN (SELECT b FROM probes)
+ORDER BY list_cosine_similarity(b.v, qb.qv) DESC, b.vec_id ASC
+LIMIT {k}
+"""
+
+
+def _embedding_near_dup_sql(
+    tau: float = 0.5, n_planes: int = 8, seed: int = 42
+) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+buck AS (SELECT vec_id, v, ({_lsh_bucket_sql_expr(n_planes, seed)}) AS bucket FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4)::DOUBLE AS cosine
+FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {tau}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -431,6 +693,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ii_bm25_source_filter"] = _bm25_query(
         "table query", 10, "or", doc_predicate=F.col("repo") == "src3"
     )
+    # A4 query expansion (ResiduePairOccurrence.java:166-227): per-term
+    # synonym groups, posting-list union semantics — the reference's
+    # "Enolase + exchanges" benchmark shape (README.md:36)
+    _EXP = {"customer": ["supplier"], "stream": ["batch", "filter"]}
+    q["ii_bm25_expanded"] = _bm25_query(
+        "customer stream", 10, "or", expansions=_EXP
+    )
+    q["ii_bm25_expanded_and"] = _bm25_query(
+        "customer stream", 10, "and", expansions=_EXP
+    )
 
     def _phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = _engine(spark, sf_dir)
@@ -451,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_doclens": _q_doclens,
             "ii_doc_sha256": _q_doc_sha,
             "ii_postings_roundtrip": _q_postings_roundtrip,
+            "ii_classify_library": _q_classify,
+            "mm_features": _q_mm_features,
             "dd_exact_dedup": _q_exact_dedup,
             "dd_ngram_jaccard": _q_ngram_jaccard,
             "dd_minhash_lsh": _q_minhash_lsh,
@@ -486,6 +760,9 @@ def oracle_sql() -> dict[str, str]:
         for name, (terms, k, mode) in _BM25_CASES.items()
     }
     sql["ii_bm25_pruned_topk"] = _bm25_sql(["value", "table"], 10, "or")
+    _exp = {"customer": ["supplier"], "stream": ["batch", "filter"]}
+    sql["ii_bm25_expanded"] = _bm25_expanded_sql(_exp, 10, "or")
+    sql["ii_bm25_expanded_and"] = _bm25_expanded_sql(_exp, 10, "and")
     sql["ii_phrase_count"] = f"""
 WITH tokarr AS (
   SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks
@@ -511,6 +788,44 @@ GROUP BY doc_id
     )
     sql.update(
         {
+            # classify: score = sum over matched library terms of the BM25
+            # contribution with idf/avgdl from the index's corpus stats;
+            # 'and' mode keeps docs matching every term of a query
+            "ii_classify_library": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+lib(query_id, term) AS (VALUES
+  ('q_cust','customer'),('q_cust','table'),
+  ('q_stream','batch'),('q_stream','stream')
+),
+nterms AS (SELECT query_id, count(*) AS n FROM lib GROUP BY query_id),
+tdf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, lib.query_id,
+         ln((st.n - coalesce(tdf.df, 0) + 0.5) / (coalesce(tdf.df, 0) + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf
+  JOIN lib ON tf.term = lib.term
+  LEFT JOIN tdf ON tdf.term = lib.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+),
+scored AS (
+  SELECT doc_id, query_id, sum(c) AS s, count(*) AS nm
+  FROM contrib GROUP BY doc_id, query_id
+)
+SELECT s.doc_id, s.query_id, round(s.s, 4) AS score, s.nm::BIGINT AS n_matched
+FROM scored s JOIN nterms t ON s.query_id = t.query_id
+WHERE s.nm = t.n
+""",
+            "mm_features": """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS digest
+FROM documents
+""",
             "ii_terms_df_cf": f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
@@ -539,24 +854,26 @@ WITH keyed AS (SELECT doc_id, md5(text) AS digest FROM documents),
 canon AS (SELECT digest, min(doc_id) AS canonical_id FROM keyed GROUP BY digest)
 SELECT k.doc_id, c.canonical_id FROM keyed k JOIN canon c ON k.digest = c.digest
 """,
+            # replays the capped candidate generation (shingles with df > 5
+            # excluded from the self-join) + exact verify over FULL sets
             "dd_ngram_jaccard": f"""
-WITH tokarr AS (
-  SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks
-  FROM documents
+WITH {_SHINGLE_CTE},
+dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+cold AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN dfs USING (shingle)
+  WHERE dfs.df <= 5
 ),
-idx AS (
-  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
-  FROM tokarr
-),
-sh AS (
-  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-  FROM idx
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT doc_a, doc_b, count(*) AS n_common
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b,
        round(n_common::DOUBLE / (sa.sz + sb.sz - n_common), 6) AS jaccard
@@ -633,12 +950,14 @@ WHERE e.vec_id != 0
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id ASC
 LIMIT 10
 """,
-            "sim_embedding_near_dup": """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)::DOUBLE AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
-""",
+            "sim_embedding_near_dup": _embedding_near_dup_sql(
+                tau=0.3, n_planes=4
+            ),
+            "sim_lsh_topk": _lsh_topk_sql(n_planes=6, k=10),
+            "dd_minhash_lsh": _minhash_lsh_sql(
+                num_hashes=16, bands=8, threshold=0.2, max_bucket_size=2
+            ),
+            "dd_simhash_pairs": _simhash_pairs_sql(max_hamming=10),
             "rel_semi_join": """
 SELECT c_custkey, c_name FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -709,7 +1028,4 @@ FROM events GROUP BY 1, 2
 """,
         }
     )
-    # dd_minhash_lsh / dd_simhash_pairs / sim_lsh_topk are deliberately
-    # oracle-less (LSH banding is not ANSI-SQL practical); they get the
-    # driver's rows-only check and are exactness-tested in tests/.
     return sql

@@ -33,6 +33,16 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _cpu_times() -> tuple[int, int]:
+    """(total jiffies, steal jiffies) from /proc/stat — hypervisor steal is
+    the dominant uncontrollable noise source on this shared host, so every
+    timed leg records the steal share of its own window."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    return sum(vals), vals[7] if len(vals) > 7 else 0
+
+
 def _cpu_burn(n: int) -> None:
     import hashlib
 
@@ -103,8 +113,12 @@ def scale_run(cores: int, n_docs: int, out_path: str) -> None:
         )
         try:
             # the efficiency number is meaningless if the cluster silently
-            # under-provisioned: wait for, then assert, the executor count
-            deadline = time.time() + 120
+            # under-provisioned: wait for, then assert, the executor count.
+            # Generous deadline: executor JVMs pre-touch their heaps at
+            # launch, which can take minutes in a bad host window (see
+            # BENCH.md methodology) — that cost is deliberately outside the
+            # timed build.
+            deadline = time.time() + 300
             while time.time() < deadline:
                 infos = (
                     spark.sparkContext._jsc.sc().statusTracker()
@@ -150,19 +164,37 @@ def scale_run(cores: int, n_docs: int, out_path: str) -> None:
             )
             root = tempfile.mkdtemp(prefix=f"bs_{cores}_", dir=scratch)
             cleanup.append(root)
+            store = IndexStore(root)
+            jif0, st0 = _cpu_times()
             t0 = time.time()
             build_index(
-                spark, docs, IndexStore(root),
+                spark, docs, store,
                 docs_per_shard=max(n_docs // 256, 256),
                 shards_per_chunk=1 << 20,
                 checkpoint_partials=False,
             )
             wall = time.time() - t0
+            jif1, st1 = _cpu_times()
+            steal_pct = round(
+                100.0 * (st1 - st0) / max(jif1 - jif0, 1), 1
+            )
+            # per-stage breakdown from the lineage WAL (ts per event) —
+            # retained in the rep artifact since the index root is scratch
+            ev = [e for e in store.lineage() if e.get("gen")]
+            stages = {}
+            prev = t0
+            for e in ev:
+                if e.get("status") == "done":
+                    stages[e["stage"]] = round(e["ts"] - prev, 1)
+                    prev = e["ts"]
             with open(out_path, "w") as f:
                 json.dump(
                     {"cores": cores, "executors": n_exec, "n_docs": n_docs,
-                     "wall_sec": wall, "docs_per_sec": n_docs / wall}, f
+                     "wall_sec": wall, "docs_per_sec": n_docs / wall,
+                     "steal_pct": steal_pct, "stages": stages}, f
                 )
+            log(f"[scale-run] {cores}c: {wall:.1f}s steal={steal_pct}% "
+                f"stages={stages}")
         finally:
             spark.stop()
             for path in cleanup:
@@ -191,8 +223,15 @@ def run_scaling() -> dict:
     exec_cores = int(os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # generate the shared input once (identical bytes for both legs)
-    gen_spark = get_spark("bench-gen", cores=cpus)
+    # generate the shared input once (identical bytes for both legs); the
+    # generator needs no big driver heap — a small one keeps its pre-touch
+    # off the critical path
+    gen_spark = get_spark(
+        "bench-gen", cores=cpus,
+        extra_conf={"spark.driver.memory": "8g",
+                    "spark.driver.extraJavaOptions":
+                        "-Xms8g -XX:+UseParallelGC"},
+    )
     scale_dir = tempfile.mkdtemp(prefix="bench_corpus_")
     scale_src = scale_dir + "/docs"
     generate_corpus(
@@ -200,6 +239,7 @@ def run_scaling() -> dict:
     ).write.mode("overwrite").parquet(scale_src)
     gen_spark.stop()
     walls: dict[int, list[float]] = {lo: [], hi: []}
+    steals: dict[int, list[float]] = {lo: [], hi: []}
     env = dict(os.environ, SPARK_GRAFT_SCALE_SRC=scale_src)
     try:
         for rep in range(reps):
@@ -209,20 +249,38 @@ def run_scaling() -> dict:
                     f"{cores // exec_cores} executors x {exec_cores} cores "
                     f"on {n_scale} docs")
                 subprocess.run(["sync"], check=False)
-                subprocess.run(
-                    [sys.executable, __file__, "--scale-run", str(cores),
-                     str(n_scale), out],
-                    check=True, stdout=sys.stderr, env=env,
-                )
-                with open(out) as f:
-                    r = json.load(f)
-                os.unlink(out)
+                r = None
+                for attempt in (1, 2):
+                    proc = subprocess.run(
+                        [sys.executable, __file__, "--scale-run", str(cores),
+                         str(n_scale), out],
+                        stdout=sys.stderr, env=env,
+                    )
+                    if proc.returncode == 0:
+                        with open(out) as f:
+                            r = json.load(f)
+                        os.unlink(out)
+                        break
+                    # a failed rep (executor never registered — host stall
+                    # during heap pre-touch) is dropped and retried once,
+                    # never silently timed
+                    log(f"[bench]   {cores} cores rep {rep + 1} attempt "
+                        f"{attempt} failed (rc={proc.returncode}); retrying")
+                if r is None:
+                    log(f"[bench]   {cores} cores rep {rep + 1}: skipped "
+                        "(two failed attempts)")
+                    continue
                 walls[cores].append(r["wall_sec"])
+                steals[cores].append(r.get("steal_pct", -1.0))
                 log(f"[bench]   {cores} cores rep {rep + 1}: "
                     f"{r['wall_sec']:.1f}s "
-                    f"({n_scale / r['wall_sec']:.0f} docs/s)")
+                    f"({n_scale / r['wall_sec']:.0f} docs/s, "
+                    f"steal {r.get('steal_pct')}%)")
     finally:
         shutil.rmtree(scale_dir, ignore_errors=True)
+    if not walls[lo] or not walls[hi]:
+        log("[bench] scaling: a leg has zero successful reps — no evidence")
+        return {"error": "no successful reps", "pair": [lo, hi]}
     best = {c: min(w) for c, w in walls.items()}
     med = {c: statistics.median(w) for c, w in walls.items()}
     th_best = {c: n_scale / w for c, w in best.items()}
@@ -246,6 +304,8 @@ def run_scaling() -> dict:
         f"local{hi}_wall_sec": round(best[hi], 1),
         f"local{lo}_wall_all": [round(w, 1) for w in walls[lo]],
         f"local{hi}_wall_all": [round(w, 1) for w in walls[hi]],
+        f"local{lo}_steal_pct": steals[lo],
+        f"local{hi}_steal_pct": steals[hi],
         "efficiency": round(eff, 3),
         "efficiency_median": round(eff_med, 3),
         "cpu_ceiling_efficiency": round(ceiling, 3),

@@ -230,15 +230,25 @@ def _build_fused(
     tf = term_frequencies(
         docs_keyed, content_col=content_col, with_positions=with_positions
     ).join(ids.select("doc_id", "shard"), on="doc_id")
-    # Spill the SPIMI stage-1 runs as parquet with a map-only write (the ids
-    # joins broadcast, so nothing shuffles here).  A parquet round-trip beats
-    # a DISK_ONLY .persist() measurably: persisted DataFrame blocks go
-    # through the columnar-cache serializer and are re-read per downstream
-    # job, while parquet is written once, column-pruned on every reader, and
-    # the count below is satisfied from footer metadata.  The single shard
-    # shuffle this build needs happens inside pack_postings.
+    # Spill the SPIMI stage-1 runs as parquet, SHUFFLED BY SHARD AND SORTED
+    # (shard, term, doc_id) — this is the build's one big shuffle, fused into
+    # the tokenize stage.  Downstream consequences:
+    # - the pack stage becomes map-only AND sort-free: parquet read-back of
+    #   whole files preserves row order, term rank is monotonic in the term
+    #   string so the sort survives the term_id join, and the packer only
+    #   needs run contiguity (files hold disjoint shard sets).  The row-path
+    #   alternative (shuffle rows -> Tungsten sort -> row->Arrow) measured
+    #   ~10x the packer's own CPU in JVM overhead;
+    # - a parquet round-trip beats a DISK_ONLY .persist() (columnar-cache
+    #   serializer, re-read per job) and the count below is footer-only.
+    # Partition count is pinned (see pack note below); at larger scale keep
+    # spill files under spark.sql.files.maxPartitionBytes so read-back never
+    # splits a file (a split could cut a (shard, term) run mid-way).
+    spill_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     tf_path = store.partials_path(gen, 0)
-    tf.write.mode("overwrite").parquet(tf_path)
+    tf.repartition(spill_parts, "shard").sortWithinPartitions(
+        "shard", "term", "doc_id"
+    ).write.mode("overwrite").parquet(tf_path)
     tf = spark.read.parquet(tf_path)
     n_postings = tf.count()  # parquet metadata only — no scan
     store.log(gen=gen, stage="partials", status="done", n_postings=n_postings,
@@ -285,16 +295,24 @@ def _build_fused(
         ["positions"] if with_positions else []
     )
     with_ids = tf.join(dict_df, on="term").select(*tf_cols)
-    # the tf parquet read-back carries no partitioning guarantee (splits can
-    # land mid-shard), so pack_postings performs the build's one shard
-    # shuffle — narrow rows only, document text never crosses the wire.
-    # Partition count is pinned explicitly: AQE's byte-based coalescing
-    # would squeeze this small-but-CPU-heavy (python varint) stage into a
-    # handful of tasks and serialize the packer at any core count.
-    pack_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    blocks = pack_postings(
-        with_ids, partitions=pack_parts, with_positions=with_positions
-    )
+    # Fast path (broadcastable vocab): the spill is already shuffled by shard
+    # and sorted (shard, term, doc_id); the broadcast join streams rows in
+    # order and term_id is the term's sorted rank, so the packer input is
+    # presorted — pack is a map-only, sort-free stage.  Fallback (giant
+    # vocab, shuffled dict join): order is destroyed, so pack re-shuffles +
+    # re-sorts; partition count pinned explicitly because AQE's byte-based
+    # coalescing would squeeze this small-but-CPU-heavy (python varint)
+    # stage into a handful of tasks and serialize the packer.
+    if small_vocab:
+        blocks = pack_postings(
+            with_ids, already_partitioned=True, presorted=True,
+            with_positions=with_positions,
+        )
+    else:
+        pack_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        blocks = pack_postings(
+            with_ids, partitions=pack_parts, with_positions=with_positions
+        )
     # cluster output files by term_id so parquet row-group min/max stats can
     # skip for selective queries (the ffindex-offset-table role; narrow sort
     # over block rows only, ~1/128 of postings)

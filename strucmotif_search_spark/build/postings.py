@@ -214,6 +214,7 @@ def pack_postings(
     partitions: int | None = None,
     already_partitioned: bool = False,
     with_positions: bool = False,
+    presorted: bool = False,
 ) -> DataFrame:
     """(doc_id, term_id, tf, shard) -> packed posting blocks.
 
@@ -225,6 +226,15 @@ def pack_postings(
     ``already_partitioned=True`` skips the repartition when the input is
     already hash-partitioned by ``shard`` (e.g. the build persists tf
     shard-partitioned so stage 2 is shuffle-free).
+
+    ``presorted=True`` additionally skips the in-partition sort: the caller
+    guarantees every (shard, term_id) run is already contiguous and
+    doc-ascending within each partition (the fused build writes its tf spill
+    shuffled + sorted, and parquet read-back of whole files preserves row
+    order).  This keeps the packer input on the columnar fast path — no
+    Tungsten row sort, no shuffle-row -> Arrow conversion (measured: the
+    row-path reduce burned ~10x the packer's own CPU in JVM sort + row
+    conversion).
     """
     cols = ["shard", "term_id", "doc_id", "tf"] + (
         ["positions"] if with_positions else []
@@ -236,7 +246,10 @@ def pack_postings(
             if partitions
             else src.repartition("shard")
         )
-    arranged = src.sortWithinPartitions("shard", "term_id", "doc_id")
+    arranged = (
+        src if presorted
+        else src.sortWithinPartitions("shard", "term_id", "doc_id")
+    )
     return arranged.mapInPandas(
         _pack_partition,
         schema=POSTINGS_POS_SCHEMA if with_positions else POSTINGS_SCHEMA,

@@ -185,7 +185,10 @@ def get_cluster_spark(
         )
         # don't start the timed job until every executor registered
         .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
-        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "120s")
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "300s")
+        # fewer bytes written = fewer (collapse-prone) page faults: zstd for
+        # shuffle/spill streams, not just parquet
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -68,10 +68,42 @@ class SearchEngine:
         self.postings = store.read_postings(spark)
         # global stats are a single row — resolve once at engine construction
         self._stats_row = self.stats.first()
+        # driver-side vocabulary cache: repeated queries must not pay a Spark
+        # job for a dictionary lookup (the reference precomputes exactly this
+        # as its informativeness table, ResiduePairOccurrence.java:230-463).
+        # Hot entries AND negative lookups are memoized; only cache misses
+        # trigger a (tiny, pushed-down) terms-table scan.
+        self._vocab: dict[str, tuple[int, int] | None] = {}
+        # per-predicate norms cache (P3 search-space filters): building the
+        # filtered norms sidecar is a corpus-wide job — pay it once per
+        # distinct predicate, not once per query
+        self._pred_norms: dict[str, DataFrame] = {}
 
     # ---- planning ------------------------------------------------------
-    def plan(self, query: str) -> QueryPlan:
-        return plan_query(query, self.terms, self.stats, stats_row=self._stats_row)
+    def _vocab_lookup(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        misses = [t for t in terms if t not in self._vocab]
+        if misses:
+            rows = (
+                self.terms.where(F.col("term").isin(misses))
+                .select("term", "term_id", "df")
+                .collect()
+            )
+            found = {r["term"]: (int(r["term_id"]), int(r["df"])) for r in rows}
+            for t in misses:
+                self._vocab[t] = found.get(t)  # None memoizes absence
+        return {t: v for t in terms if (v := self._vocab[t]) is not None}
+
+    def plan(
+        self, query: str, expansions: dict[str, list[str]] | None = None
+    ) -> QueryPlan:
+        return plan_query(
+            query,
+            self.terms,
+            self.stats,
+            stats_row=self._stats_row,
+            expansions=expansions,
+            vocab_lookup=self._vocab_lookup,
+        )
 
     # ---- search ----------------------------------------------------------
     def search(
@@ -82,6 +114,7 @@ class SearchEngine:
         with_meta: bool = True,
         doc_predicate=None,
         prune_shards: bool | None = None,
+        expansions: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """BM25 top-k via the DAAT path.
 
@@ -92,13 +125,22 @@ class SearchEngine:
         and are never scored, so the filter applies BEFORE top-k.
         ``prune_shards``: shard-level block-max pruning; default = on when
         the index has enough shards for a 2-phase plan to pay off.
+        ``expansions``: per-term synonym lists (A4 query expansion,
+        ResiduePairOccurrence.java:166-227): each query term and its
+        expansions form one scoring group whose posting lists are unioned
+        (tf sums, df = max member df — Lucene SynonymQuery convention).
         """
-        plan = self.plan(query)
+        plan = self.plan(query, expansions=expansions)
         norms = self.norms
         if doc_predicate is not None:
-            from .build.norms import build_norms
+            key = str(doc_predicate._jc)
+            if key not in self._pred_norms:
+                from .build.norms import build_norms
 
-            norms = build_norms(self.doc_map.where(doc_predicate))
+                self._pred_norms[key] = build_norms(
+                    self.doc_map.where(doc_predicate)
+                ).cache()
+            norms = self._pred_norms[key]
         n_shards = self.meta.get("n_shards") or 0
         if prune_shards is None:
             prune_shards = n_shards > 64
@@ -115,9 +157,14 @@ class SearchEngine:
         return self._materialize(hits, k) if with_meta else hits
 
     def search_naive(
-        self, query: str, k: int = 10, mode: str = "or", with_meta: bool = False
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        with_meta: bool = False,
+        expansions: dict[str, list[str]] | None = None,
     ) -> DataFrame:
-        plan = self.plan(query)
+        plan = self.plan(query, expansions=expansions)
         hits = bm25_topk_naive(
             self.spark,
             self.postings,

@@ -81,6 +81,7 @@ def bm25_topk(
     query: str,
     k: int = 10,
     mode: str = "or",
+    expansions: dict[str, list[str]] | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for a query string.
 
@@ -88,31 +89,57 @@ def bm25_topk(
     mode='and' — conjunctive: doc must contain ALL distinct query terms
                  (the reference's progressive-intersection semantics,
                  DefaultTargetAssembler.java:92-111).
-    Distinct query terms are scored in ascending term order (fixed float64
+    ``expansions`` (A4, ResiduePairOccurrence.java:166-227): each distinct
+    query term t plus expansions[t] forms one scoring group; the group's tf
+    per doc is the SUM of member tfs, its df is the MAX of present members'
+    dfs (Lucene SynonymQuery convention — matches the engine).
+    Groups are scored in ascending min-member-term order (fixed float64
     summation order); ties broken by ascending doc_id.
     """
-    terms = sorted(set(tokenize(query)))
+    base_terms = sorted(set(tokenize(query)))
+    groups: list[list[str]] = []
+    for t in base_terms:
+        members = [t]
+        for syn in (expansions or {}).get(t, []):
+            if syn not in members:
+                members.append(syn)
+        groups.append(members)
+
+    # resolve each group: present members, combined postings, group df
+    resolved = []  # (sort_key, present_members)
+    n_absent = 0
+    for members in groups:
+        present = [m for m in members if m in index.postings]
+        if not present:
+            n_absent += 1
+            continue
+        key = min(present)  # ascending term order == ascending min member
+        resolved.append((key, present))
+    resolved.sort()
+
     scores: dict[int, float] = {}
     seen_count: dict[int, int] = {}
-    n_present = 0
-    for t in terms:
-        if t not in index.postings:
-            continue
-        n_present += 1
-        ds, tfs = index.postings[t]
-        w = idf(index.n_docs, index.df[t])
+    for _, present in resolved:
+        gdf = max(index.df[m] for m in present)
+        w = idf(index.n_docs, gdf)
+        gtf: dict[int, int] = {}
+        for m in present:
+            ds, tfs = index.postings[m]
+            for d, t_ in zip(ds.tolist(), tfs.tolist()):
+                gtf[d] = gtf.get(d, 0) + t_
+        ds = np.fromiter(sorted(gtf), dtype=np.int64, count=len(gtf))
+        tf = np.asarray([gtf[int(d)] for d in ds], dtype=np.float64)
         row = np.searchsorted(index.doc_ids, ds)
         dl = index.doclens[row].astype(np.float64)
-        tf = tfs.astype(np.float64)
         denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / index.avgdl)
         contrib = w * (tf * (BM25_K1 + 1.0)) / denom
         for d, c in zip(ds.tolist(), contrib.tolist()):
             scores[d] = scores.get(d, 0.0) + c
             seen_count[d] = seen_count.get(d, 0) + 1
     if mode == "and":
-        need = len([t for t in terms if t in index.postings])
-        if len(terms) != n_present:
-            return []  # some term absent from corpus -> conjunction empty
+        if n_absent:
+            return []  # a group with no occurring member -> conjunction empty
+        need = len(resolved)
         scores = {d: s for d, s in scores.items() if seen_count[d] == need}
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]

@@ -51,16 +51,29 @@ def bm25_topk_naive(
     if plan.empty_or or (mode == "and" and plan.empty_and):
         return _empty_result(spark)
 
-    q_ids = plan.term_ids
+    q_ids = sorted({tid for g in plan.groups for tid in g.member_ids})
     blocks = postings.where(F.col("term_id").isin(q_ids))
     decoded = decode_postings(blocks)
 
-    idf_map = F.create_map(
-        *[F.lit(x) for x in chain.from_iterable(zip(q_ids, plan.idfs))]
+    # member term_id -> expansion-group key / idf (A4: a group's tf is the
+    # SUM of member tfs — posting-list union with payload concat,
+    # DefaultTargetAssembler.java:85-88; singleton groups for plain queries)
+    key_of = {tid: g.key for g in plan.groups for tid in g.member_ids}
+    idf_of = {g.key: g.idf for g in plan.groups}
+    key_map = F.create_map(
+        *[F.lit(x) for x in chain.from_iterable(key_of.items())]
     )
-    d = decoded.join(norms_decoded.select("doc_id", "doclen"), on="doc_id")
+    idf_map = F.create_map(
+        *[F.lit(x) for x in chain.from_iterable(idf_of.items())]
+    )
+    grouped = (
+        decoded.withColumn("gkey", key_map[F.col("term_id")])
+        .groupBy("doc_id", "gkey")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    d = grouped.join(norms_decoded.select("doc_id", "doclen"), on="doc_id")
     contrib = (
-        idf_map[F.col("term_id")]
+        idf_map[F.col("gkey")]
         * (F.col("tf") * (plan.k1 + 1.0))
         / (
             F.col("tf")
@@ -70,17 +83,17 @@ def bm25_topk_naive(
     )
     d = d.withColumn("contrib", contrib.cast("double"))
 
-    # deterministic float64 summation: ascending term_id within each doc
+    # deterministic float64 summation: ascending group key within each doc
     per_doc = d.groupBy("doc_id").agg(
         F.aggregate(
-            F.array_sort(F.collect_list(F.struct("term_id", "contrib"))),
+            F.array_sort(F.collect_list(F.struct("gkey", "contrib"))),
             F.lit(0.0),
             lambda acc, x: acc + x["contrib"],
         ).alias("score"),
         F.count("*").alias("n_matched"),
     )
     if mode == "and":
-        per_doc = per_doc.where(F.col("n_matched") == len(q_ids))
+        per_doc = per_doc.where(F.col("n_matched") == len(plan.groups))
     if allowed is not None:  # P1 whitelist — left-semi
         per_doc = per_doc.join(allowed.select("doc_id"), on="doc_id", how="left_semi")
     if excluded is not None:  # P2 blacklist — left-anti

@@ -4,14 +4,18 @@ One grouped cogroup-pandas UDF per *shard* (document-sharded index): each task
 receives the query terms' posting blocks for its shard plus the shard's packed
 norms row, and runs document-at-a-time scoring entirely in numpy:
 
-- terms processed rarest-first (df-ascending; O1 / ResiduePairOccurrence
+- scoring units are expansion GROUPS (A4, ResiduePairOccurrence.java:166-227):
+  a group's tf per doc is the sum of its member terms' tfs (posting-list
+  union with payload concat, DefaultTargetAssembler.java:85-88); unexpanded
+  queries are singleton groups and score bit-identically to a per-term loop;
+- groups processed rarest-first (df-ascending; O1 / ResiduePairOccurrence
   .java:53-57) with progressive candidate intersection in AND mode
   (DefaultTargetAssembler.java:92-111 analogue);
 - posting blocks are SKIPPED without decoding when their [first_doc_id,
   max_doc_id] range cannot intersect the surviving candidate range — the
   skip-pointer payoff (north_rule: per-block skip pointers);
-- scores accumulate into a dense per-shard float64 array in ascending term_id
-  order — bitwise-identical summation order to the oracle;
+- scores accumulate into a dense per-shard float64 array in ascending
+  group-key order — bitwise-identical summation order to the oracle;
 - each shard emits only its local top-k; the global
   ``orderBy(score desc, doc_id asc).limit(k)`` merges shard heaps
   (Catalyst TakeOrderedAndProject).
@@ -34,20 +38,49 @@ from .planner import QueryPlan
 
 _RESULT_SCHEMA = "doc_id long, score double"
 
+# sentinel: "this group was decoded under a candidate-range restriction and
+# produced no postings" — distinct from "not decoded yet" (None)
+_NO_POSTINGS = np.zeros(0, dtype=np.float64)
+
+
+def _empty_pdf() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": [], "score": []}).astype(
+        {"doc_id": "int64", "score": "float64"}
+    )
+
 
 def _make_scorer(plan: QueryPlan, docs_per_shard: int, k: int, mode: str):
-    # ascending-term_id order fixes float64 summation; rarest-first order
-    # (plan.terms is already df-ascending) drives intersection
-    by_tid = sorted(zip(plan.term_ids, plan.idfs))
-    rarest_first = list(plan.term_ids)
-    n_terms = len(plan.term_ids)
+    # ascending group-key order fixes float64 summation; rarest-first order
+    # (plan.groups is already df-ascending) drives intersection
+    by_key = sorted(plan.groups, key=lambda g: g.key)
+    rarest_first = list(plan.groups)
+    n_groups = len(plan.groups)
     k1, b, avgdl = plan.k1, plan.b, plan.avgdl
+
+    def group_tf(groups_by_tid, grp, base, lo=-1, hi=1 << 62):
+        """Dense per-shard tf vector for one expansion group: sum of member
+        tfs (posting-list union, J2 shape).  Blocks outside [lo, hi] are
+        skipped without decoding (skip pointers).  Returns None if no member
+        has a (surviving) posting in this shard."""
+        dense = None
+        for tid in grp.member_ids:
+            g = groups_by_tid.get(tid)
+            if g is None:
+                continue
+            # itertuples over block rows (1 row per ~128 postings): column
+            # access stays numpy; no per-posting python
+            for row in g.sort_values("first_doc_id").itertuples(index=False):
+                if row.max_doc_id < lo or row.first_doc_id > hi:
+                    continue
+                ids, tfs = unpack_block(bytes(row.doc_gaps), bytes(row.tfs))
+                if dense is None:
+                    dense = np.zeros(docs_per_shard, dtype=np.float64)
+                dense[ids - base] += tfs
+        return dense
 
     def score_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float64"}
-            )
+            return _empty_pdf()
         shard = int(left["shard"].iloc[0])
         base = shard * docs_per_shard
         norm_ids, norm_lens = unpack_block(
@@ -56,79 +89,125 @@ def _make_scorer(plan: QueryPlan, docs_per_shard: int, k: int, mode: str):
         dense_len = np.zeros(docs_per_shard, dtype=np.float64)
         dense_len[norm_ids - base] = norm_lens
 
-        groups: dict[int, pd.DataFrame] = {
+        groups_by_tid: dict[int, pd.DataFrame] = {
             int(t): g for t, g in left.groupby("term_id", sort=False)
         }
 
         # --- candidate narrowing (AND): rarest-first with block skipping ---
-        decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        decoded: dict[int, np.ndarray] = {}  # group key -> dense tf
         if mode == "and":
-            cand: np.ndarray | None = None  # sorted candidate doc_ids
-            for tid in rarest_first:
-                g = groups.get(tid)
-                if g is None:
-                    return pd.DataFrame(
-                        {"doc_id": [], "score": []}
-                    ).astype({"doc_id": "int64", "score": "float64"})
-                ids_parts, tf_parts = [], []
-                lo = int(cand[0]) if cand is not None else -1
-                hi = int(cand[-1]) if cand is not None else 1 << 62
-                for _, row in g.sort_values("first_doc_id").iterrows():
-                    # skip-pointer check: block cannot contain a candidate
-                    if cand is not None and (
-                        row["max_doc_id"] < lo or row["first_doc_id"] > hi
-                    ):
-                        continue
-                    ids, tfs = unpack_block(bytes(row["doc_gaps"]), bytes(row["tfs"]))
-                    ids_parts.append(ids)
-                    tf_parts.append(tfs)
-                if not ids_parts:
-                    return pd.DataFrame(
-                        {"doc_id": [], "score": []}
-                    ).astype({"doc_id": "int64", "score": "float64"})
-                ids = np.concatenate(ids_parts)
-                tfs = np.concatenate(tf_parts)
-                decoded[tid] = (ids, tfs)
+            cand: np.ndarray | None = None  # sorted candidate doc offsets
+            for grp in rarest_first:
+                lo = int(cand[0]) + base if cand is not None and cand.size else -1
+                hi = (
+                    int(cand[-1]) + base
+                    if cand is not None and cand.size
+                    else 1 << 62
+                )
+                dense = group_tf(groups_by_tid, grp, base, lo, hi)
+                if dense is None:
+                    return _empty_pdf()
+                decoded[grp.key] = dense
+                ids = np.flatnonzero(dense)
                 cand = ids if cand is None else cand[np.isin(cand, ids)]
                 if cand.size == 0:
-                    return pd.DataFrame(
-                        {"doc_id": [], "score": []}
-                    ).astype({"doc_id": "int64", "score": "float64"})
+                    return _empty_pdf()
 
-        # --- scoring: dense accumulation, ascending term_id ---
+        # --- OR-mode in-shard MaxScore pruning (block-max WAND reshaped
+        # term-at-a-time): decode groups in ub-DESC order; once the summed
+        # upper bound of the remaining groups R cannot lift an untouched doc
+        # over the running shard-local theta (k-th best partial), no new doc
+        # can enter this shard's top-k — remaining groups decode only blocks
+        # overlapping the surviving candidates' doc range (skip pointers).
+        # Reference analogue: progressive narrowing,
+        # DefaultTargetAssembler.java:92-111.  Exactness: candidates keep
+        # complete postings (a skipped block's [first,max] range excludes
+        # every candidate), and final accumulation below replays ascending
+        # key order, so emitted scores are bitwise-identical to unpruned.
+        cmask: np.ndarray | None = None
+        if mode == "or" and n_groups > 1:
+            ubs = []
+            for grp in plan.groups:
+                mtf = 0
+                for tid in grp.member_ids:
+                    g = groups_by_tid.get(tid)
+                    if g is not None:
+                        mtf += int(g["block_max_tf"].max())
+                if mtf > 0:
+                    ubs.append(
+                        (term_upper_bound(grp.idf, mtf, k1, b), grp)
+                    )
+            ubs.sort(key=lambda t: (-t[0], t[1].key))
+            prune_score = np.zeros(docs_per_shard, dtype=np.float64)
+            for j, (_, grp) in enumerate(ubs):
+                if cmask is None and j > 0:
+                    rem = sum(u for u, _ in ubs[j:])
+                    nz = prune_score[prune_score > 0.0]
+                    if nz.size >= k:
+                        theta = np.partition(nz, nz.size - k)[nz.size - k]
+                        # small slack absorbs the ub-order/key-order float
+                        # summation difference (prune decisions only — the
+                        # emitted scores are exact either way)
+                        theta -= 1e-9 * max(1.0, abs(theta))
+                        if rem < theta:
+                            cmask = (prune_score + rem) >= theta
+                if cmask is None:
+                    dense = group_tf(groups_by_tid, grp, base)
+                else:
+                    cidx = np.flatnonzero(cmask)
+                    dense = group_tf(
+                        groups_by_tid, grp, base,
+                        int(cidx[0]) + base, int(cidx[-1]) + base,
+                    )
+                if dense is None:
+                    # every block range-skipped for this group — remember
+                    # the outcome so the accumulation loop below does not
+                    # fall back to an unrestricted (full) decode
+                    decoded[grp.key] = _NO_POSTINGS
+                    continue
+                decoded[grp.key] = dense
+                # theta must be computed over ELIGIBLE docs only: a
+                # predicate-filtered doc (doclen 0 in norms) is never
+                # emitted, so letting it raise theta would over-prune
+                nz = np.flatnonzero(dense * (dense_len > 0))
+                tf = dense[nz]
+                dl = dense_len[nz]
+                prune_score[nz] += grp.idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * dl / avgdl)
+                )
+
+        # --- scoring: dense accumulation, ascending group key ---
         score = np.zeros(docs_per_shard, dtype=np.float64)
         matched = np.zeros(docs_per_shard, dtype=np.int32)
-        for tid, w in by_tid:
-            if tid in decoded:
-                ids, tfs = decoded[tid]
-            else:
-                g = groups.get(tid)
-                if g is None:
+        for grp in by_key:
+            dense = decoded.get(grp.key)
+            if dense is None:
+                dense = group_tf(groups_by_tid, grp, base)
+                if dense is None:
                     continue
-                parts = [
-                    unpack_block(bytes(r["doc_gaps"]), bytes(r["tfs"]))
-                    for _, r in g.iterrows()
-                ]
-                ids = np.concatenate([p[0] for p in parts])
-                tfs = np.concatenate([p[1] for p in parts])
-            idx = ids - base
-            tf = tfs.astype(np.float64)
+            if dense.size == 0:  # _NO_POSTINGS under candidate restriction
+                continue
+            idx = np.flatnonzero(dense)
+            tf = dense[idx]
             dl = dense_len[idx]
-            contrib = w * (tf * (k1 + 1.0)) / (
+            contrib = grp.idf * (tf * (k1 + 1.0)) / (
                 tf + k1 * (1.0 - b + b * dl / avgdl)
             )
             score[idx] += contrib
             matched[idx] += 1
 
-        need = n_terms if mode == "and" else 1
+        need = n_groups if mode == "and" else 1
         # dense_len > 0 doubles as the doc-filter mask: norms rows are built
         # from the (optionally predicate-filtered) doc dictionary, so a doc
         # absent from norms must not be scored (P1-P3 filters apply pre-top-k)
         hit = np.flatnonzero((matched >= need) & (dense_len > 0))
+        if cmask is not None:
+            # docs outside the candidate mask provably cannot reach this
+            # shard's top-k (partial + remaining-ub < theta) and may carry
+            # incomplete sums — drop them before emission
+            hit = hit[cmask[hit]]
         if hit.size == 0:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float64"}
-            )
+            return _empty_pdf()
         s = score[hit]
         # per-shard top-k heap: argpartition then exact order
         if hit.size > k:
@@ -170,20 +249,29 @@ def bm25_topk_daat(
       phase 0: scan only the posting-block METADATA (term_id, shard,
                block_max_tf — column pruning keeps payloads unread) and
                compute each shard's score upper bound
-               ub(shard) = sum_t max_block_ub(t, shard);
+               ub(shard) = sum_g ub(g, shard) over expansion groups, where
+               a group's tf ceiling is the sum of its members' block maxima;
       phase 1: fully score the ``probe_shards`` most promising shards ->
                threshold theta = k-th best score found;
       phase 2: score only the remaining shards with ub > theta.
 
-    Exactness: ub is a true upper bound (dl->0 limit, true block-max tf), so
-    a pruned shard cannot contain a top-k doc; results are identical to the
-    unpruned plan.  Within-shard AND queries additionally skip blocks by
-    doc-range (cursor-style skip pointers).
+    Exactness: ub is a true upper bound (dl->0 limit, true block-max tf,
+    max_d sum_m tf_m(d) <= sum_m max_d tf_m(d)), so a pruned shard cannot
+    contain a top-k doc; results are identical to the unpruned plan.  Within-
+    shard AND queries additionally skip blocks by doc-range (cursor-style
+    skip pointers).
     """
     if plan.empty_or or (mode == "and" and plan.empty_and):
         return spark.createDataFrame([], _RESULT_SCHEMA)
-    blocks = postings.where(F.col("term_id").isin(plan.term_ids)).select(
-        "shard", "term_id", "first_doc_id", "max_doc_id", "doc_gaps", "tfs"
+    all_ids = sorted({tid for g in plan.groups for tid in g.member_ids})
+    if len(all_ids) < sum(len(g.member_ids) for g in plan.groups):
+        # a term shared by two expansion groups would make the phase-0
+        # member->group map ambiguous (ub no longer a true upper bound);
+        # fall back to the exact unpruned plan for this rare shape
+        prune_shards = False
+    blocks = postings.where(F.col("term_id").isin(all_ids)).select(
+        "shard", "term_id", "first_doc_id", "max_doc_id", "block_max_tf",
+        "doc_gaps", "tfs",
     )
     scorer = _make_scorer(plan, docs_per_shard, k, mode)
 
@@ -198,30 +286,38 @@ def bm25_topk_daat(
         scored = score_blocks(blocks)
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    # phase 0: shard upper bounds from block metadata only (payload unread)
-    ub_map = {
-        tid: w for tid, w in zip(plan.term_ids, plan.idfs)
+    # phase 0: shard upper bounds from block metadata only (payload unread).
+    # member term_id -> (group key, group idf) mapping as literal maps
+    key_of = {
+        tid: g.key for g in plan.groups for tid in g.member_ids
     }
+    idf_of_key = {g.key: g.idf for g in plan.groups}
+    key_map = F.create_map(
+        *[x for tid, gk in key_of.items() for x in (F.lit(tid), F.lit(gk))]
+    )
+    idf_map = F.create_map(
+        *[x for gk, w in idf_of_key.items() for x in (F.lit(gk), F.lit(w))]
+    )
     meta = (
-        postings.where(F.col("term_id").isin(plan.term_ids))
+        postings.where(F.col("term_id").isin(all_ids))
         .groupBy("shard", "term_id")
         .agg(F.max("block_max_tf").alias("mtf"))
-    )
-    idf_lit = F.create_map(
-        *[x for tid, w in ub_map.items() for x in (F.lit(tid), F.lit(w))]
+        .withColumn("gkey", key_map[F.col("term_id")])
+        .groupBy("shard", "gkey")
+        .agg(F.sum("mtf").alias("gtf_ub"))
     )
     tfub = (
-        idf_lit[F.col("term_id")]
-        * (F.col("mtf") * (plan.k1 + 1.0))
-        / (F.col("mtf") + plan.k1 * (1.0 - plan.b))
+        idf_map[F.col("gkey")]
+        * (F.col("gtf_ub") * (plan.k1 + 1.0))
+        / (F.col("gtf_ub") + plan.k1 * (1.0 - plan.b))
     )
     shard_ub = (
         meta.withColumn("tub", tfub)
         .groupBy("shard")
-        .agg(F.sum("tub").alias("ub"), F.count("*").alias("n_terms_present"))
+        .agg(F.sum("tub").alias("ub"), F.count("*").alias("n_groups_present"))
     )
     if mode == "and":
-        shard_ub = shard_ub.where(F.col("n_terms_present") == len(plan.term_ids))
+        shard_ub = shard_ub.where(F.col("n_groups_present") == len(plan.groups))
     # phase 1: probe the most promising shards (tiny collect: probe_shards rows)
     probe = [
         r["shard"]

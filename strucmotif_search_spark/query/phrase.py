@@ -62,13 +62,23 @@ def phrase_topk(
         decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for tid_val, g in pdf.groupby("term_id", sort=False):
             docs_l, pos_l = [], []
-            for _, row in g.iterrows():
-                ids, tfs = unpack_block(bytes(row["doc_gaps"]), bytes(row["tfs"]))
-                plists = unpack_positions(bytes(row["pos_data"]), tfs)
+            for row in g.itertuples(index=False):
+                ids, tfs = unpack_block(bytes(row.doc_gaps), bytes(row.tfs))
+                plists = unpack_positions(bytes(row.pos_data), tfs)
                 docs_l.append(np.repeat(ids, tfs))
-                pos_l.append(
+                pos = (
                     np.concatenate(plists) if plists else np.empty(0, np.int64)
                 )
+                if pos.size and int(pos.max()) >= _POS_CAP - 64:
+                    # the packed int64 key cannot represent positions beyond
+                    # 2^22 - 64; corrupting keys silently would merge docs —
+                    # fail loudly instead (widen the key layout to support
+                    # longer documents)
+                    raise ValueError(
+                        f"document position {int(pos.max())} exceeds the "
+                        f"packed-key position capacity {_POS_CAP - 64}"
+                    )
+                pos_l.append(pos)
             decoded[int(tid_val)] = (
                 np.concatenate(docs_l),
                 np.concatenate(pos_l),

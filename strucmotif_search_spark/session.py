@@ -101,9 +101,15 @@ def get_spark(
     # fault storm billed as GC time.  A fully resident heap makes the same
     # stage run at memory speed.  On a real cluster these flags are ordinary
     # executor JVM tuning (and pre-touch cost is paid once per executor).
+    # Bound pre-touch/GC thread count: page faults taken concurrently by
+    # many threads collapse in this guest (see _ALLOC_ENV), and AlwaysPreTouch
+    # with the default ~N_CPU ParallelGC threads self-inflicts exactly that
+    # collapse on a large heap (measured: a 24 GB pre-touch that takes
+    # seconds 1-threaded can burn 8+ minutes at 20-way).  8 GC threads keeps
+    # pre-touch serial enough to stay fast while GC stays parallel enough.
     java_opts = (
         f"-Xms{mem} -XX:+UseParallelGC -XX:+UseTransparentHugePages "
-        "-XX:+AlwaysPreTouch"
+        f"-XX:+AlwaysPreTouch -XX:ParallelGCThreads={min(cores, 8)}"
     )
     extra_conf = dict(extra_conf or {})
     user_opts = extra_conf.pop("spark.driver.extraJavaOptions", "")

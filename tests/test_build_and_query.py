@@ -141,6 +141,72 @@ def test_topk_rank_identical_naive(built, spark, query, mode):
         assert s_got == pytest.approx(s_exp, abs=1e-12)
 
 
+# A4 query expansion (ResiduePairOccurrence.java:166-227 analogue): each
+# base term + synonyms = one scoring group; tf sums, df = max member df.
+EXPANSION_CASES = [
+    ("v_00001", {"v_00001": ["v_00002", "v_00003"]}, "or"),
+    ("v_00001 import", {"v_00001": ["v_00002"]}, "and"),
+    ("uniq_org0_repo1_0", {"uniq_org0_repo1_0": ["import"]}, "or"),
+    # absent base term rescued by a present synonym
+    ("zz_absent_token", {"zz_absent_token": ["v_00005"]}, "or"),
+    # fully absent group -> AND empty
+    ("zz_absent_token import", {"zz_absent_token": ["zz_also_absent"]}, "and"),
+]
+
+
+@pytest.mark.parametrize("query,exp,mode", EXPANSION_CASES)
+def test_expanded_rank_identical_daat(built, spark, query, exp, mode):
+    engine, oracle, _ = built
+    expected = bm25_topk(oracle, query, k=10, mode=mode, expansions=exp)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(
+            query, k=10, mode=mode, with_meta=False, expansions=exp
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    assert [s for _, s in got] == [s for _, s in expected]
+
+
+@pytest.mark.parametrize("query,exp,mode", EXPANSION_CASES[:3])
+def test_expanded_rank_identical_naive(built, spark, query, exp, mode):
+    engine, oracle, _ = built
+    expected = bm25_topk(oracle, query, k=10, mode=mode, expansions=exp)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.search_naive(
+            query, k=10, mode=mode, expansions=exp
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (_, s_got), (_, s_exp) in zip(got, expected):
+        assert s_got == pytest.approx(s_exp, abs=1e-12)
+
+
+def test_expanded_beats_unexpanded_recall(built):
+    """An expansion group must match every doc any member matches (the
+    union-of-buckets contract, DefaultTargetAssembler.java:85-88)."""
+    engine, oracle, _ = built
+    exp = {"uniq_org0_repo1_0": ["uniq_org0_repo0_0"]}
+    plain = engine.search(
+        "uniq_org0_repo1_0", k=1000, mode="or", with_meta=False
+    ).collect()
+    expanded = engine.search(
+        "uniq_org0_repo1_0", k=1000, mode="or", with_meta=False,
+        expansions=exp,
+    ).collect()
+    assert {r["doc_id"] for r in plain} <= {r["doc_id"] for r in expanded}
+
+
+def test_expansion_groups_must_be_disjoint(built):
+    engine, _, _ = built
+    with pytest.raises(ValueError, match="disjoint"):
+        engine.search(
+            "v_00001 v_00002", k=5, with_meta=False,
+            expansions={"v_00001": ["v_00002"]},
+        )
+
+
 def test_limit_semantics(built):
     engine, oracle, _ = built
     full = bm25_topk(oracle, "v_00001 v_00002", k=10_000, mode="or")
