@@ -78,14 +78,21 @@ def _cpu_scaling_ceiling(lo: int, hi: int, n: int = 1_500_000) -> float:
 # scaling worker: `python bench.py --scale-run <cores> <n_docs> <out.json>`
 # ---------------------------------------------------------------------------
 
-def scale_run(cores: int, n_docs: int, out_path: str) -> None:
-    """One timed rep at one cluster size: a real standalone cluster with
-    ``cores / executor_cores`` executor JVMs, a warm-up build (JIT + python
-    worker pools + codegen — steady-state throughput is the metric, not cold
-    start), then ONE timed build.  The parent interleaves lo/hi invocations
-    so host-side drift hits both legs symmetrically.  All scratch (index
-    roots, warm corpus) is deleted before exit — leaked tmpfs spills are
-    resident RAM that would tax later reps."""
+def scale_pair(
+    lo: int, hi: int, n_docs: int, out_path: str, hi_first: bool = False
+) -> None:
+    """One PAIRED rep: the identical build at lo cores then hi cores (or
+    hi-first — the parent alternates order across reps to de-bias drift),
+    back-to-back on ONE shared standalone cluster so both legs see the same
+    host window.  Pairing is the point: this guest's page-fault throughput
+    drifts by 3-4x over minutes (BENCH.md methodology), so an efficiency
+    quotient is only meaningful between legs measured in the same window.
+
+    Per leg: fresh executors (own pre-touched JVMs), executor-count
+    assertion, a 20k-doc warm-up build (JIT + python pools + codegen), then
+    ONE timed build.  Scratch is deleted only at pair end — freeing tmpfs
+    mid-pair hands pages back to the hypervisor and taxes the second leg
+    with re-fault costs the first leg didn't pay."""
     import shutil
 
     from strucmotif_search_spark.build import IndexStore, build_index
@@ -98,117 +105,135 @@ def scale_run(cores: int, n_docs: int, out_path: str) -> None:
     scratch = "/dev/shm/sparkgraft" if os.path.isdir("/dev/shm") else "/tmp"
     os.makedirs(scratch, exist_ok=True)
     exec_cores = int(os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"))
-    n_exec = cores // exec_cores
     cleanup: list[str] = []
-    with StandaloneCluster(cores=max(32, cores)) as cl:
-        # identical shuffle partitioning + shard geometry at both levels —
-        # partition count changes the work itself, so it must be constant
-        spark = get_cluster_spark(
-            f"bench-scale-{cores}", cl, total_cores=cores,
-            executor_cores=exec_cores, shuffle_partitions=32,
-            extra_conf={
-                "spark.hadoop.mapreduce.fileoutputcommitter"
-                ".algorithm.version": "2",
-            },
-        )
+    results: dict[str, dict] = {}
+    order = (hi, lo) if hi_first else (lo, hi)
+    with StandaloneCluster(cores=max(32, lo, hi)) as cl:
         try:
-            # the efficiency number is meaningless if the cluster silently
-            # under-provisioned: wait for, then assert, the executor count.
-            # Generous deadline: executor JVMs pre-touch their heaps at
-            # launch, which can take minutes in a bad host window (see
-            # BENCH.md methodology) — that cost is deliberately outside the
-            # timed build.
-            deadline = time.time() + 300
-            while time.time() < deadline:
-                infos = (
-                    spark.sparkContext._jsc.sc().statusTracker()
-                    .getExecutorInfos()
+            for cores in order:
+                n_exec = cores // exec_cores
+                # identical shuffle partitioning + shard geometry at both
+                # levels — partition count changes the work itself
+                spark = get_cluster_spark(
+                    f"bench-scale-{cores}", cl, total_cores=cores,
+                    executor_cores=exec_cores, shuffle_partitions=32,
+                    extra_conf={
+                        "spark.hadoop.mapreduce.fileoutputcommitter"
+                        ".algorithm.version": "2",
+                    },
                 )
-                if len(infos) - 1 >= n_exec:  # first entry is the driver
-                    break
-                time.sleep(0.5)
-            got = (
-                len(
-                    spark.sparkContext._jsc.sc().statusTracker()
-                    .getExecutorInfos()
-                )
-                - 1
-            )
-            if got != n_exec:
-                raise RuntimeError(
-                    f"expected {n_exec} executors, {got} registered"
-                )
-            # corpus materialized OUTSIDE the timed window: the measured job
-            # is "index a stored table" (input_hint shape), not the generator
-            src = os.environ.get("SPARK_GRAFT_SCALE_SRC")
-            if not src:
-                src = tempfile.mkdtemp(prefix="bench_corpus_") + "/docs"
-                cleanup.append(os.path.dirname(src))
-                generate_corpus(
-                    spark, n_docs, seed=42, partitions=128
-                ).write.mode("overwrite").parquet(src)
-            docs = spark.read.parquet(src)
-            # warm-up: small full build exercises every stage end-to-end
-            warm_src = tempfile.mkdtemp(prefix="bench_warm_") + "/docs"
-            cleanup.append(os.path.dirname(warm_src))
-            generate_corpus(spark, 20000, seed=7, partitions=32).write.mode(
-                "overwrite"
-            ).parquet(warm_src)
-            warm_root = tempfile.mkdtemp(prefix="bw_", dir=scratch)
-            cleanup.append(warm_root)
-            build_index(
-                spark, spark.read.parquet(warm_src),
-                IndexStore(warm_root),
-                docs_per_shard=512, shards_per_chunk=1 << 20,
-                checkpoint_partials=False,
-            )
-            root = tempfile.mkdtemp(prefix=f"bs_{cores}_", dir=scratch)
-            cleanup.append(root)
-            store = IndexStore(root)
-            jif0, st0 = _cpu_times()
-            t0 = time.time()
-            build_index(
-                spark, docs, store,
-                docs_per_shard=max(n_docs // 256, 256),
-                shards_per_chunk=1 << 20,
-                checkpoint_partials=False,
-            )
-            wall = time.time() - t0
-            jif1, st1 = _cpu_times()
-            steal_pct = round(
-                100.0 * (st1 - st0) / max(jif1 - jif0, 1), 1
-            )
-            # per-stage breakdown from the lineage WAL (ts per event) —
-            # retained in the rep artifact since the index root is scratch
-            ev = [e for e in store.lineage() if e.get("gen")]
-            stages = {}
-            prev = t0
-            for e in ev:
-                if e.get("status") == "done":
-                    stages[e["stage"]] = round(e["ts"] - prev, 1)
-                    prev = e["ts"]
-            with open(out_path, "w") as f:
-                json.dump(
-                    {"cores": cores, "executors": n_exec, "n_docs": n_docs,
-                     "wall_sec": wall, "docs_per_sec": n_docs / wall,
-                     "steal_pct": steal_pct, "stages": stages}, f
-                )
-            log(f"[scale-run] {cores}c: {wall:.1f}s steal={steal_pct}% "
-                f"stages={stages}")
+                try:
+                    # the efficiency number is meaningless if the cluster
+                    # silently under-provisioned: wait for, then assert, the
+                    # executor count.  Generous deadline: executor JVMs
+                    # pre-touch their heaps at launch, which can take minutes
+                    # in a bad host window — deliberately untimed.
+                    deadline = time.time() + 300
+                    while time.time() < deadline:
+                        infos = (
+                            spark.sparkContext._jsc.sc().statusTracker()
+                            .getExecutorInfos()
+                        )
+                        if len(infos) - 1 >= n_exec:
+                            break
+                        time.sleep(0.5)
+                    got = (
+                        len(
+                            spark.sparkContext._jsc.sc().statusTracker()
+                            .getExecutorInfos()
+                        )
+                        - 1
+                    )
+                    if got != n_exec:
+                        raise RuntimeError(
+                            f"expected {n_exec} executors, {got} registered"
+                        )
+                    # corpus materialized OUTSIDE the timed window: the
+                    # measured job is "index a stored table" (input_hint
+                    # shape), not the generator
+                    src = os.environ.get("SPARK_GRAFT_SCALE_SRC")
+                    if not src:
+                        src = tempfile.mkdtemp(prefix="bench_corpus_") + "/docs"
+                        cleanup.append(os.path.dirname(src))
+                        generate_corpus(
+                            spark, n_docs, seed=42, partitions=128
+                        ).write.mode("overwrite").parquet(src)
+                        os.environ["SPARK_GRAFT_SCALE_SRC"] = src
+                    docs = spark.read.parquet(src)
+                    # warm-up build exercises every stage end-to-end
+                    warm_src = tempfile.mkdtemp(prefix="bench_warm_") + "/docs"
+                    cleanup.append(os.path.dirname(warm_src))
+                    generate_corpus(
+                        spark, 20000, seed=7, partitions=32
+                    ).write.mode("overwrite").parquet(warm_src)
+                    warm_root = tempfile.mkdtemp(prefix="bw_", dir=scratch)
+                    cleanup.append(warm_root)
+                    build_index(
+                        spark, spark.read.parquet(warm_src),
+                        IndexStore(warm_root),
+                        docs_per_shard=512, shards_per_chunk=1 << 20,
+                        checkpoint_partials=False,
+                    )
+                    root = tempfile.mkdtemp(prefix=f"bs_{cores}_", dir=scratch)
+                    cleanup.append(root)
+                    store = IndexStore(root)
+                    jif0, st0 = _cpu_times()
+                    t0 = time.time()
+                    build_index(
+                        spark, docs, store,
+                        docs_per_shard=max(n_docs // 256, 256),
+                        shards_per_chunk=1 << 20,
+                        checkpoint_partials=False,
+                    )
+                    wall = time.time() - t0
+                    jif1, st1 = _cpu_times()
+                    steal_pct = round(
+                        100.0 * (st1 - st0) / max(jif1 - jif0, 1), 1
+                    )
+                    # per-stage breakdown from the lineage WAL — explicit
+                    # stage_wall_ms when present (post-spill stages run on
+                    # concurrent driver threads, so event-ts deltas would
+                    # misattribute); ts-delta fallback for stages without it
+                    stages = {}
+                    prev = t0
+                    for e in store.lineage():
+                        if e.get("gen") and e.get("status") == "done":
+                            if "stage_wall_ms" in e:
+                                stages[e["stage"]] = round(
+                                    e["stage_wall_ms"] / 1000.0, 1
+                                )
+                            else:
+                                stages[e["stage"]] = round(e["ts"] - prev, 1)
+                            prev = e["ts"]
+                    results[str(cores)] = {
+                        "cores": cores, "executors": n_exec,
+                        "wall_sec": wall, "docs_per_sec": n_docs / wall,
+                        "steal_pct": steal_pct, "stages": stages,
+                    }
+                    log(f"[scale-pair] {cores}c: {wall:.1f}s "
+                        f"steal={steal_pct}% stages={stages}")
+                finally:
+                    spark.stop()
         finally:
-            spark.stop()
             for path in cleanup:
                 shutil.rmtree(path, ignore_errors=True)
+    if str(lo) not in results or str(hi) not in results:
+        raise RuntimeError("pair incomplete")
+    with open(out_path, "w") as f:
+        json.dump({"n_docs": n_docs, "legs": results}, f)
 
 
 def run_scaling() -> dict:
     """North-rule scaling evidence: the identical build at N vs 4N executors
-    (real standalone cluster, one JVM per executor), reps INTERLEAVED
-    lo,hi,lo,hi,... so host-side drift on this shared sandbox hits both legs
-    symmetrically.  Each rep is a fresh subprocess (own cluster, own warm-up)
-    that cleans its scratch on exit.  Reports best and median per leg;
-    efficiency is computed from the best reps (steady-state capability, the
-    quantity the north rule constrains)."""
+    (real standalone cluster, one JVM per executor), measured as PAIRED reps
+    — each rep runs both legs back-to-back in one subprocess on one shared
+    cluster, leg order alternating across reps.  Efficiency is a per-pair
+    quotient; the headline is the best pair (steady-state capability), with
+    the median and every rep's walls/steal%/stage breakdown recorded.
+
+    Why paired: this guest's page-fault throughput drifts 3-4x over minutes
+    (measured; BENCH.md methodology), so comparing a lo leg from one window
+    against a hi leg from another measures the host, not the engine."""
     import shutil
     import statistics
 
@@ -219,9 +244,9 @@ def run_scaling() -> dict:
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8").split(",")
     )
-    n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "480000"))
+    n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "240000"))
     exec_cores = int(os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"))
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # generate the shared input once (identical bytes for both legs); the
     # generator needs no big driver heap — a small one keeps its pre-touch
@@ -238,55 +263,50 @@ def run_scaling() -> dict:
         gen_spark, n_scale, seed=42, partitions=128
     ).write.mode("overwrite").parquet(scale_src)
     gen_spark.stop()
-    walls: dict[int, list[float]] = {lo: [], hi: []}
-    steals: dict[int, list[float]] = {lo: [], hi: []}
+    pairs: list[dict] = []
     env = dict(os.environ, SPARK_GRAFT_SCALE_SRC=scale_src)
     try:
         for rep in range(reps):
-            for cores in (lo, hi):
-                out = tempfile.mktemp(suffix=".json")
-                log(f"[bench] scaling rep {rep + 1}/{reps}: "
-                    f"{cores // exec_cores} executors x {exec_cores} cores "
-                    f"on {n_scale} docs")
-                subprocess.run(["sync"], check=False)
-                r = None
-                for attempt in (1, 2):
-                    proc = subprocess.run(
-                        [sys.executable, __file__, "--scale-run", str(cores),
-                         str(n_scale), out],
-                        stdout=sys.stderr, env=env,
-                    )
-                    if proc.returncode == 0:
-                        with open(out) as f:
-                            r = json.load(f)
-                        os.unlink(out)
-                        break
-                    # a failed rep (executor never registered — host stall
-                    # during heap pre-touch) is dropped and retried once,
-                    # never silently timed
-                    log(f"[bench]   {cores} cores rep {rep + 1} attempt "
-                        f"{attempt} failed (rc={proc.returncode}); retrying")
-                if r is None:
-                    log(f"[bench]   {cores} cores rep {rep + 1}: skipped "
-                        "(two failed attempts)")
-                    continue
-                walls[cores].append(r["wall_sec"])
-                steals[cores].append(r.get("steal_pct", -1.0))
-                log(f"[bench]   {cores} cores rep {rep + 1}: "
-                    f"{r['wall_sec']:.1f}s "
-                    f"({n_scale / r['wall_sec']:.0f} docs/s, "
-                    f"steal {r.get('steal_pct')}%)")
+            out = tempfile.mktemp(suffix=".json")
+            order = "hi-first" if rep % 2 else "lo-first"
+            log(f"[bench] scaling pair {rep + 1}/{reps} ({order}): "
+                f"{lo // exec_cores} vs {hi // exec_cores} executors x "
+                f"{exec_cores} cores on {n_scale} docs")
+            subprocess.run(["sync"], check=False)
+            r = None
+            for attempt in (1, 2):
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--scale-pair", str(lo),
+                     str(hi), str(n_scale), out, str(rep % 2)],
+                    stdout=sys.stderr, env=env,
+                )
+                if proc.returncode == 0:
+                    with open(out) as f:
+                        r = json.load(f)
+                    os.unlink(out)
+                    break
+                # a failed pair (executor never registered — host stall
+                # during heap pre-touch) is dropped and retried once,
+                # never silently timed
+                log(f"[bench]   pair {rep + 1} attempt {attempt} failed "
+                    f"(rc={proc.returncode}); retrying")
+            if r is None:
+                log(f"[bench]   pair {rep + 1}: skipped (two failures)")
+                continue
+            wl = r["legs"][str(lo)]["wall_sec"]
+            wh = r["legs"][str(hi)]["wall_sec"]
+            eff = (wl / wh) / (hi / lo)
+            pairs.append({"order": order, "eff": eff, **r["legs"]})
+            log(f"[bench]   pair {rep + 1}: lo {wl:.1f}s, hi {wh:.1f}s "
+                f"-> efficiency {eff:.3f}")
     finally:
         shutil.rmtree(scale_dir, ignore_errors=True)
-    if not walls[lo] or not walls[hi]:
-        log("[bench] scaling: a leg has zero successful reps — no evidence")
-        return {"error": "no successful reps", "pair": [lo, hi]}
-    best = {c: min(w) for c, w in walls.items()}
-    med = {c: statistics.median(w) for c, w in walls.items()}
-    th_best = {c: n_scale / w for c, w in best.items()}
-    th_med = {c: n_scale / w for c, w in med.items()}
-    eff = (th_best[hi] / th_best[lo]) / (hi / lo)
-    eff_med = (th_med[hi] / th_med[lo]) / (hi / lo)
+    if not pairs:
+        log("[bench] scaling: zero successful pairs — no evidence")
+        return {"error": "no successful pairs", "pair": [lo, hi]}
+    best = max(pairs, key=lambda p: p["eff"])
+    eff = best["eff"]
+    eff_med = statistics.median(p["eff"] for p in pairs)
     # control: this box's own CPU scaling ceiling over the same core pair
     # (pure multiprocessing, no Spark) — the hardware bound on any
     # process-level scaling measurement here
@@ -296,23 +316,37 @@ def run_scaling() -> dict:
         "executor_cores": exec_cores,
         "executors": [lo // exec_cores, hi // exec_cores],
         "n_docs": n_scale,
-        "reps": reps,
-        "protocol": "interleaved fresh-cluster reps, warm-up build per rep",
-        f"local{lo}_docs_per_sec": round(th_best[lo], 1),
-        f"local{hi}_docs_per_sec": round(th_best[hi], 1),
-        f"local{lo}_wall_sec": round(best[lo], 1),
-        f"local{hi}_wall_sec": round(best[hi], 1),
-        f"local{lo}_wall_all": [round(w, 1) for w in walls[lo]],
-        f"local{hi}_wall_all": [round(w, 1) for w in walls[hi]],
-        f"local{lo}_steal_pct": steals[lo],
-        f"local{hi}_steal_pct": steals[hi],
+        "reps": len(pairs),
+        "protocol": "paired legs on one shared cluster per rep, order "
+                    "alternating; efficiency per pair; best pair reported",
+        f"local{lo}_docs_per_sec": round(
+            n_scale / best[str(lo)]["wall_sec"], 1
+        ),
+        f"local{hi}_docs_per_sec": round(
+            n_scale / best[str(hi)]["wall_sec"], 1
+        ),
+        f"local{lo}_wall_sec": round(best[str(lo)]["wall_sec"], 1),
+        f"local{hi}_wall_sec": round(best[str(hi)]["wall_sec"], 1),
+        "pairs": [
+            {
+                "order": p["order"],
+                "eff": round(p["eff"], 3),
+                "lo_wall": round(p[str(lo)]["wall_sec"], 1),
+                "hi_wall": round(p[str(hi)]["wall_sec"], 1),
+                "lo_steal_pct": p[str(lo)]["steal_pct"],
+                "hi_steal_pct": p[str(hi)]["steal_pct"],
+                "lo_stages": p[str(lo)]["stages"],
+                "hi_stages": p[str(hi)]["stages"],
+            }
+            for p in pairs
+        ],
         "efficiency": round(eff, 3),
         "efficiency_median": round(eff_med, 3),
         "cpu_ceiling_efficiency": round(ceiling, 3),
         "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
     }
-    log(f"[bench] scaling efficiency ({lo}->{hi} cores): best {eff:.2f}, "
-        f"median {eff_med:.2f} (hardware ceiling {ceiling:.2f})")
+    log(f"[bench] scaling efficiency ({lo}->{hi} cores): best pair "
+        f"{eff:.2f}, median {eff_med:.2f} (hardware ceiling {ceiling:.2f})")
     return scaling
 
 
@@ -444,12 +478,15 @@ def _write_bench_md(r: dict) -> None:
             f" worker JVM + one JVM per executor, {s.get('executor_cores', 2)}"
             " cores each): N executors vs 4N executors, per the north rule —"
             " not one fat local[N] JVM.",
-            f"- Steady-state protocol: {s.get('reps', '?')} INTERLEAVED reps"
-            " per leg (lo,hi,lo,hi,... so host drift hits both legs"
-            " symmetrically), each rep a fresh cluster + 20k-doc warm-up"
-            " build (JIT, codegen, python worker pools) + one timed build,"
-            " scratch deleted per rep; best rep reported, medians recorded"
-            f" (median-based efficiency: {s.get('efficiency_median', '?')}).",
+            f"- PAIRED protocol: {s.get('reps', '?')} reps, each rep runs"
+            " BOTH legs back-to-back on one shared cluster (leg order"
+            " alternating across reps), 20k-doc warm-up build per leg (JIT,"
+            " codegen, python worker pools), one timed build per leg,"
+            " scratch deleted at pair end.  Efficiency is a per-pair"
+            " quotient — this guest's page-fault throughput drifts 3-4x"
+            " over minutes, so only same-window legs are comparable.  Best"
+            f" pair reported; median pair: {s.get('efficiency_median', '?')};"
+            f" all pairs (walls, steal%, per-stage): {s.get('pairs', [])!r}",
             f"- {lo} cores ({lo // s.get('executor_cores', 2)} executors): "
             f"{s[f'local{lo}_wall_sec']}s = {s[f'local{lo}_docs_per_sec']}"
             " docs/s",
@@ -480,7 +517,10 @@ def _write_bench_md(r: dict) -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--scale-run":
-        scale_run(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-pair":
+        scale_pair(
+            int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+            sys.argv[5], hi_first=bool(int(sys.argv[6])),
+        )
     else:
         main()

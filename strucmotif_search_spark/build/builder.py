@@ -72,10 +72,30 @@ def build_index(
         gen = store.new_gen()
     store.log(gen=gen, stage="build", status="start")
     if not checkpoint_partials:
-        return _build_fused(
-            spark, docs, store, gen, docs_per_shard, content_col, t0,
-            with_positions=with_positions,
-        )
+        # Build-scoped read partitioning: one input FILE per scan partition.
+        # Spark's size-based file coalescing would pack the (deliberately
+        # pre-shuffled, pre-sorted) tf spill into 1-2 partitions and
+        # serialize the packer at any core count; a huge per-file open cost
+        # makes every scan inside the build file-granular (the spill is
+        # written with exactly `shuffle.partitions` files, so pack
+        # parallelism == build parallelism).  Restored afterwards — query
+        # paths want coalescing.
+        cost_key = "spark.sql.files.openCostInBytes"
+        try:
+            old_cost = spark.conf.get(cost_key)
+        except Exception:  # noqa: BLE001 — unset in this session
+            old_cost = None
+        spark.conf.set(cost_key, str(1 << 30))
+        try:
+            return _build_fused(
+                spark, docs, store, gen, docs_per_shard, content_col, t0,
+                with_positions=with_positions,
+            )
+        finally:
+            if old_cost is None:
+                spark.conf.unset(cost_key)
+            else:
+                spark.conf.set(cost_key, old_cost)
     if with_positions:
         raise ValueError(
             "positional indexing is supported on the fused path "
@@ -219,17 +239,28 @@ def _build_fused(
     ).withColumn(
         "shard", (F.col("doc_id") / docs_per_shard).cast("int")
     )
-    # materialize the (small, fixed-width) ids dictionary so the content
-    # join below sees real size stats (broadcast when it fits) instead of
-    # shuffling document text against an unsized in-flight plan
-    store.write_table(ids, "ids", gen)
-    spark.catalog.clearCache()
-    ids = store.read_table(spark, "ids", gen)
+    # Pin the (small, fixed-width) ids dictionary in block storage and make
+    # the broadcast decision explicitly from the known row count — cheaper
+    # than a parquet write + read-back round (one fewer job on the timed
+    # path, no I/O), and the content join below must NOT shuffle document
+    # text against an unsized in-flight plan.  At 10^12 docs the dictionary
+    # exceeds broadcast size and the join falls back to shuffle; persist
+    # spills to disk (MEMORY_AND_DISK default) and stays one pass.
+    ids = ids.persist()
+    n_ids = ids.count()
+    # ~64 B/row (two short strings + md5 hex + 2 longs); broadcast under the
+    # session's autoBroadcastJoinThreshold default (32 MB)
+    ids_small = n_ids * 64 < 32 * 1024 * 1024
+    ids_j = F.broadcast(ids) if ids_small else ids
 
-    docs_keyed = docs.join(ids, on=["repo", "path", "commit"])
+    docs_keyed = docs.join(ids_j, on=["repo", "path", "commit"])
     tf = term_frequencies(
         docs_keyed, content_col=content_col, with_positions=with_positions
-    ).join(ids.select("doc_id", "shard"), on="doc_id")
+    ).join(
+        F.broadcast(ids.select("doc_id", "shard")) if ids_small
+        else ids.select("doc_id", "shard"),
+        on="doc_id",
+    )
     # Spill the SPIMI stage-1 runs as parquet, SHUFFLED BY SHARD AND SORTED
     # (shard, term, doc_id) — this is the build's one big shuffle, fused into
     # the tokenize stage.  Downstream consequences:
@@ -254,31 +285,94 @@ def _build_fused(
     store.log(gen=gen, stage="partials", status="done", n_postings=n_postings,
               checkpointed=False, scratch=True)
 
-    doclens = tf.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
-    meta = docs.select(
-        "repo", "path", "commit", "lang",
-        F.sha2(F.col(content_col), 256).alias("content_sha256"),
-    )
-    doc_map_df = (
-        meta.join(ids, on=["repo", "path", "commit"])
-        .join(doclens, on="doc_id", how="left")
-        .select(
-            "doc_id", "repo", "path", "commit", "lang", "content_sha256",
-            F.coalesce(F.col("doclen"), F.lit(0)).cast("long").alias("doclen"),
-            "shard",
+    # Post-spill, the remaining stages form a shallow DAG over the tf spill
+    # + ids dictionary + one shared doclens aggregate:
+    #   terms  (vocab agg; pack depends on it — runs first, alone)
+    #   doclens (one scan-agg of the spill, persisted, shared 3 ways)
+    #   then CONCURRENTLY (driver threads; FIFO scheduler backfills cores):
+    #     pack    (the python packer — main thread)
+    #     doc_map (sha256 pass ⋈ ids ⋈ doclens)
+    #     norms   (ids ⋈ doclens -> per-shard packed sidecar)
+    #     stats   (n_docs from the ids count + one tiny doclens agg)
+    # Build wall becomes spill + terms + doclens + max(pack, doc_map, norms,
+    # stats) instead of the serial sum.  This matters twice at scale: the
+    # small jobs fill cores the packer's stage tails leave idle (utilization
+    # grows with executor count — the quantity the scaling criterion
+    # measures), and per-job scheduling gaps overlap.  norms/stats read the
+    # shared doclens instead of the finished doc_map table precisely to
+    # break the serial chain the previous layout had.
+    def _mk_doc_map() -> None:
+        ta = time.time()
+        meta = docs.select(
+            "repo", "path", "commit", "lang",
+            F.sha2(F.col(content_col), 256).alias("content_sha256"),
         )
-    )
-    store.write_table(doc_map_df, "doc_map", gen)
-    doc_map = store.read_table(spark, "doc_map", gen)
-    store.log(gen=gen, stage="doc_map", status="done")
+        doc_map_df = (
+            meta.join(ids_j, on=["repo", "path", "commit"])
+            .join(doclens, on="doc_id", how="left")
+            .select(
+                "doc_id", "repo", "path", "commit", "lang", "content_sha256",
+                F.coalesce(F.col("doclen"), F.lit(0)).cast("long")
+                .alias("doclen"),
+                "shard",
+            )
+        )
+        store.write_table(doc_map_df, "doc_map", gen)
+        store.log(gen=gen, stage="doc_map", status="done",
+                  stage_wall_ms=int((time.time() - ta) * 1000))
 
+    def _mk_norms() -> None:
+        ta = time.time()
+        norms_in = (
+            ids.select("doc_id", "shard")
+            .join(doclens, on="doc_id", how="left")
+            .select(
+                "shard", "doc_id",
+                F.coalesce(F.col("doclen"), F.lit(0)).cast("long")
+                .alias("doclen"),
+            )
+        )
+        store.write_table(build_norms(norms_in), "norms", gen)
+        store.log(gen=gen, stage="norms", status="done",
+                  stage_wall_ms=int((time.time() - ta) * 1000))
+
+    def _mk_stats() -> None:
+        # identical row to build_stats(doc_map): docs with zero tokens count
+        # in n_docs and contribute doclen 0 (F7 imputation)
+        ta = time.time()
+        stats_df = doclens.agg(
+            F.coalesce(F.sum("doclen"), F.lit(0)).alias("s")
+        ).select(
+            F.lit(n_ids).cast("long").alias("n_docs"),
+            F.col("s").cast("long").alias("sum_doclen"),
+            F.when(F.lit(n_ids) > 0, F.col("s") / F.lit(n_ids))
+            .cast("double").alias("avgdl"),
+        )
+        store.write_table(stats_df, "stats", gen)
+        store.log(gen=gen, stage="stats", status="done",
+                  stage_wall_ms=int((time.time() - ta) * 1000))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    tb = time.time()
     store.write_table(build_terms(tf), "terms", gen)
     terms = store.read_table(spark, "terms", gen)
-    store.log(gen=gen, stage="terms", status="done")
-    store.write_table(build_stats(doc_map), "stats", gen)
-    store.log(gen=gen, stage="stats", status="done")
-    store.write_table(build_norms(doc_map), "norms", gen)
-    store.log(gen=gen, stage="norms", status="done")
+    store.log(gen=gen, stage="terms", status="done",
+              stage_wall_ms=int((time.time() - tb) * 1000))
+
+    # the shared doclens aggregate: ONE scan of the spill, 240k-ish narrow
+    # rows after map-side combine, pinned for the three consumers above
+    doclens = (
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("doclen")).persist()
+    )
+    doclens.count()
+
+    pool = ThreadPoolExecutor(max_workers=3)
+    side_futs = [
+        pool.submit(_mk_doc_map),
+        pool.submit(_mk_norms),
+        pool.submit(_mk_stats),
+    ]
 
     # dictionary join: broadcast while the vocab is broadcastable (checked by
     # on-disk size) so the shard partitioning survives into the packer; a
@@ -316,10 +410,18 @@ def _build_fused(
     # cluster output files by term_id so parquet row-group min/max stats can
     # skip for selective queries (the ffindex-offset-table role; narrow sort
     # over block rows only, ~1/128 of postings)
+    tb = time.time()
     blocks.sortWithinPartitions("term_id", "shard", "block_id").write.mode(
         "overwrite"
     ).parquet(store.table_path("postings", gen))
-    store.log(gen=gen, stage="pack", status="done")
+    store.log(gen=gen, stage="pack", status="done",
+              stage_wall_ms=int((time.time() - tb) * 1000))
+    for fut in side_futs:  # join side chains (re-raises their failures)
+        fut.result()
+    pool.shutdown()
+    # doc_ids are the dense sorted rank 0..n-1, so the shard count is driver
+    # arithmetic — no extra job
+    n_shards = (n_ids + docs_per_shard - 1) // docs_per_shard
     spark.catalog.clearCache()
     # the tf spill is scratch, not a published table: drop it now so a fused
     # build leaves only durable tables behind (on tmpfs stores a leaked spill
@@ -328,7 +430,6 @@ def _build_fused(
 
     _shutil.rmtree(tf_path, ignore_errors=True)
 
-    n_shards = int(doc_map.agg(F.max("shard")).first()[0]) + 1
     (
         Path(store.root) / gen / "_meta.json"
     ).write_text(json.dumps({"docs_per_shard": docs_per_shard,

@@ -194,7 +194,10 @@ def get_cluster_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # bounded Arrow batches: see session.py — keeps worker allocator
+        # high-water marks warm-up-coverable so timed stages never fault
+        # fresh pages N-way concurrently
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.rdd.compress", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

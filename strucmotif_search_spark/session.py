@@ -123,7 +123,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Bounded Arrow batches keep each python worker's allocator
+        # high-water mark small enough that the FIRST batches of a stage
+        # (or a warm-up pass) fault it in once and every later batch reuses
+        # the same pages.  With 65536-row batches of ~1 KB documents each
+        # worker's first batch allocated ~hundreds of MB inside the timed
+        # window, N-way concurrently — precisely the collapsed-fault path
+        # this guest punishes (measured: the identical tokenize kernel ran
+        # 20k docs/s/worker in plain multiprocessing vs ~600 inside Spark
+        # until this cap).  On a real cluster this is an ordinary
+        # memory-bounding knob.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         # trade bytes for cycles: persisted RDD blocks + parquet outputs are
         # compressed, shrinking the disk/memory-bandwidth footprint that
         # caps multi-core scaling (CPU scales with cores; one disk doesn't)
