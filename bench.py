@@ -401,6 +401,7 @@ def main() -> None:
         spark, corpus, IndexStore(root),
         docs_per_shard=max(n_docs // (cpus * 4), 256),
         shards_per_chunk=1 << 20,
+        checkpoint_partials=False,  # fused production path (bucketed layout)
     )
     build_sec = time.time() - t0
     engine = SearchEngine(spark, IndexStore(root))

@@ -332,7 +332,12 @@ def _build_fused(
                 .alias("doclen"),
             )
         )
-        store.write_table(build_norms(norms_in), "norms", gen)
+        # norms bucketed with the SAME bucket count as postings: the query
+        # cogroup then sees both sides hash(shard)-clustered from the scan
+        store.write_bucketed(
+            build_norms(norms_in), "norms", gen, n_buckets=spill_parts,
+            sort_cols=("shard",),
+        )
         store.log(gen=gen, stage="norms", status="done",
                   stage_wall_ms=int((time.time() - ta) * 1000))
 
@@ -407,13 +412,18 @@ def _build_fused(
         blocks = pack_postings(
             with_ids, partitions=pack_parts, with_positions=with_positions
         )
-    # cluster output files by term_id so parquet row-group min/max stats can
-    # skip for selective queries (the ffindex-offset-table role; narrow sort
-    # over block rows only, ~1/128 of postings)
+    # Publish postings BUCKETED BY shard (same Murmur3 hash + count as the
+    # spill's repartition, so each pack task emits exactly one bucket file —
+    # no extra exchange on the write) and sorted (term_id, shard, block_id)
+    # within buckets so parquet row-group min/max stats skip for selective
+    # queries (the ffindex-offset-table role).  The bucketed layout makes
+    # the query-time cogroup(postings, norms) exchange-free: see
+    # IndexStore.write_bucketed.
     tb = time.time()
-    blocks.sortWithinPartitions("term_id", "shard", "block_id").write.mode(
-        "overwrite"
-    ).parquet(store.table_path("postings", gen))
+    store.write_bucketed(
+        blocks, "postings", gen, n_buckets=spill_parts,
+        sort_cols=("term_id", "shard", "block_id"),
+    )
     store.log(gen=gen, stage="pack", status="done",
               stage_wall_ms=int((time.time() - tb) * 1000))
     for fut in side_futs:  # join side chains (re-raises their failures)

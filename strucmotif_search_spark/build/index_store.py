@@ -80,6 +80,96 @@ class IndexStore:
     def read_table(self, spark: SparkSession, name: str, gen: str | None = None) -> DataFrame:
         return spark.read.parquet(self.table_path(name, gen))
 
+    # ---- bucketed tables ---------------------------------------------
+    # Postings and norms are BUCKETED BY shard (hash(shard) % n_buckets,
+    # Spark's Murmur3 — identical to repartition()'s partitioner).  Payoff:
+    # the query path's cogroup(postings, norms) on `shard` reads both sides
+    # already hash-clustered, so Catalyst satisfies the cogroup's
+    # ClusteredDistribution straight from the scan — a BM25 query is ONE
+    # exchange-free stage plus a TakeOrderedAndProject, at any corpus size.
+    # This is the "bucketing for co-located joins" scale shape: on a 1000-
+    # executor cluster a query never shuffles posting payloads.  Bucket
+    # metadata lives in the session catalog; since generations are plain
+    # directories, each reader session (re)registers an external bucketed
+    # table pointing at the generation path (names are content-addressed so
+    # concurrent stores/generations never collide).  Files remain ordinary
+    # parquet — any non-bucket-aware reader (DuckDB oracle, refs from
+    # incremental gens) reads the same files by path.
+
+    def bucket_table_name(self, name: str, gen: str) -> str:
+        import hashlib
+
+        digest = hashlib.md5(
+            f"{self.root.resolve()}::{gen}::{name}".encode()
+        ).hexdigest()[:12]
+        return f"smsp_{name}_{digest}"
+
+    def _buckets_meta(self, gen: str) -> dict:
+        p = self.root / gen / "_buckets.json"
+        if not p.exists():
+            return {}
+        return json.loads(p.read_text())
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        gen: str,
+        n_buckets: int,
+        sort_cols: tuple[str, ...] = (),
+        bucket_col: str = "shard",
+    ) -> None:
+        path = self.table_path(name, gen)
+        tbl = self.bucket_table_name(name, gen)
+        w = (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .option("path", path)
+            .bucketBy(n_buckets, bucket_col)
+        )
+        if sort_cols:
+            w = w.sortBy(sort_cols[0], *sort_cols[1:])
+        w.saveAsTable(tbl)
+        meta = self._buckets_meta(gen)
+        meta[name] = {
+            "n_buckets": n_buckets,
+            "bucket_col": bucket_col,
+            "sort_cols": list(sort_cols),
+        }
+        (self.root / gen / "_buckets.json").write_text(json.dumps(meta))
+
+    def read_bucketed(
+        self, spark: SparkSession, name: str, gen: str | None = None
+    ) -> DataFrame:
+        """Bucket-aware read: registers (once per session) an external
+        bucketed table over the generation directory and reads through the
+        catalog so the scan reports hash(shard) output partitioning.  Falls
+        back to a plain parquet read when the table was not written
+        bucketed (older gens, incremental bundles)."""
+        gen = gen or self.current_gen()
+        meta = self._buckets_meta(gen).get(name)
+        path = self.table_path(name, gen)
+        if meta is None:
+            return spark.read.parquet(path)
+        tbl = self.bucket_table_name(name, gen)
+        if not spark.catalog.tableExists(tbl):
+            schema = spark.read.parquet(path).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in schema.fields
+            )
+            sort = (
+                " SORTED BY ({}) ".format(", ".join(meta["sort_cols"]))
+                if meta["sort_cols"]
+                else " "
+            )
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {tbl} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({meta['bucket_col']}){sort}"
+                f"INTO {meta['n_buckets']} BUCKETS LOCATION '{path}'"
+            )
+        return spark.table(tbl)
+
     def read_postings(self, spark: SparkSession, gen: str | None = None) -> DataFrame:
         """Resolve a generation's postings: its own files plus `_refs.json`
         references to prior-gen files, each with an ``exclude_shards``
@@ -94,7 +184,11 @@ class IndexStore:
         refs_file = self.root / gen / "_refs.json"
         parts = []
         if base.exists() and any(base.iterdir()):
-            parts.append(spark.read.parquet(str(base)))
+            # bucket-aware when written bucketed (exchange-free queries);
+            # a union with refs below keeps correctness but drops the
+            # bucketed output partitioning — incremental gens pay one
+            # query-time exchange until the next full rebuild
+            parts.append(self.read_bucketed(spark, "postings", gen))
         if refs_file.exists():
             for ref in _json.loads(refs_file.read_text()):
                 df = spark.read.parquet(ref["path"])

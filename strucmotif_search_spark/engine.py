@@ -64,7 +64,10 @@ class SearchEngine:
         self.stats = store.read_table(spark, "stats")
         # norms: one compact row per shard — cache (the reference similarly
         # keeps per-doc data resident, DefaultStructureDataProvider.java:202)
-        self.norms = store.read_table(spark, "norms").cache()
+        # bucket-aware read: hash(shard)-clustered from the scan, so the
+        # per-query cogroup with (equally bucketed) postings is exchange-
+        # free; the cache preserves the child partitioning
+        self.norms = store.read_bucketed(spark, "norms").cache()
         self.postings = store.read_postings(spark)
         # global stats are a single row — resolve once at engine construction
         self._stats_row = self.stats.first()
