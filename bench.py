@@ -81,18 +81,21 @@ def _cpu_scaling_ceiling(lo: int, hi: int, n: int = 1_500_000) -> float:
 def scale_pair(
     lo: int, hi: int, n_docs: int, out_path: str, hi_first: bool = False
 ) -> None:
-    """One PAIRED rep: the identical build at lo cores then hi cores (or
-    hi-first — the parent alternates order across reps to de-bias drift),
-    back-to-back on ONE shared standalone cluster so both legs see the same
-    host window.  Pairing is the point: this guest's page-fault throughput
-    drifts by 3-4x over minutes (BENCH.md methodology), so an efficiency
-    quotient is only meaningful between legs measured in the same window.
+    """One PAIRED rep: the identical build at both core counts, as a
+    PALINDROME of four legs — lo,hi,hi,lo (or hi,lo,lo,hi; the parent
+    alternates the start across reps) — back-to-back on ONE shared
+    standalone cluster so all legs see the same host window.  Each leg size
+    is measured twice (once early, once late, cancelling linear drift) and
+    scored by its BEST wall; efficiency is the quotient of per-leg bests.
+    Pairing is the point: this guest's page-fault throughput drifts by 3-4x
+    over minutes (BENCH.md methodology), so an efficiency quotient is only
+    meaningful between legs measured in the same window.
 
     Per leg: fresh executors (own pre-touched JVMs), executor-count
     assertion, a 20k-doc warm-up build (JIT + python pools + codegen), then
     ONE timed build.  Scratch is deleted only at pair end — freeing tmpfs
-    mid-pair hands pages back to the hypervisor and taxes the second leg
-    with re-fault costs the first leg didn't pay."""
+    mid-pair hands pages back to the hypervisor and taxes later legs with
+    re-fault costs earlier legs didn't pay."""
     import shutil
 
     from strucmotif_search_spark.build import IndexStore, build_index
@@ -106,8 +109,8 @@ def scale_pair(
     os.makedirs(scratch, exist_ok=True)
     exec_cores = int(os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"))
     cleanup: list[str] = []
-    results: dict[str, dict] = {}
-    order = (hi, lo) if hi_first else (lo, hi)
+    reps: dict[str, list[dict]] = {str(lo): [], str(hi): []}
+    order = (hi, lo, lo, hi) if hi_first else (lo, hi, hi, lo)
     with StandaloneCluster(cores=max(32, lo, hi)) as cl:
         try:
             for cores in order:
@@ -161,11 +164,17 @@ def scale_pair(
                         os.environ["SPARK_GRAFT_SCALE_SRC"] = src
                     docs = spark.read.parquet(src)
                     # warm-up build exercises every stage end-to-end
-                    warm_src = tempfile.mkdtemp(prefix="bench_warm_") + "/docs"
-                    cleanup.append(os.path.dirname(warm_src))
-                    generate_corpus(
-                        spark, 20000, seed=7, partitions=32
-                    ).write.mode("overwrite").parquet(warm_src)
+                    # (warm corpus generated once, reused by later legs)
+                    warm_src = os.environ.get("SPARK_GRAFT_WARM_SRC")
+                    if not warm_src:
+                        warm_src = (
+                            tempfile.mkdtemp(prefix="bench_warm_") + "/docs"
+                        )
+                        cleanup.append(os.path.dirname(warm_src))
+                        generate_corpus(
+                            spark, 20000, seed=7, partitions=32
+                        ).write.mode("overwrite").parquet(warm_src)
+                        os.environ["SPARK_GRAFT_WARM_SRC"] = warm_src
                     warm_root = tempfile.mkdtemp(prefix="bw_", dir=scratch)
                     cleanup.append(warm_root)
                     build_index(
@@ -205,11 +214,11 @@ def scale_pair(
                             else:
                                 stages[e["stage"]] = round(e["ts"] - prev, 1)
                             prev = e["ts"]
-                    results[str(cores)] = {
+                    reps[str(cores)].append({
                         "cores": cores, "executors": n_exec,
                         "wall_sec": wall, "docs_per_sec": n_docs / wall,
                         "steal_pct": steal_pct, "stages": stages,
-                    }
+                    })
                     log(f"[scale-pair] {cores}c: {wall:.1f}s "
                         f"steal={steal_pct}% stages={stages}")
                 finally:
@@ -217,10 +226,19 @@ def scale_pair(
         finally:
             for path in cleanup:
                 shutil.rmtree(path, ignore_errors=True)
-    if str(lo) not in results or str(hi) not in results:
+    if not reps[str(lo)] or not reps[str(hi)]:
         raise RuntimeError("pair incomplete")
+    # per-leg best (steady-state capability within this shared window);
+    # every rep is kept in the artifact for audit
+    legs = {}
+    for key, rr in reps.items():
+        best = min(rr, key=lambda r: r["wall_sec"])
+        legs[key] = dict(best, reps=[
+            {"wall_sec": r["wall_sec"], "steal_pct": r["steal_pct"]}
+            for r in rr
+        ])
     with open(out_path, "w") as f:
-        json.dump({"n_docs": n_docs, "legs": results}, f)
+        json.dump({"n_docs": n_docs, "legs": legs}, f)
 
 
 def run_scaling() -> dict:
@@ -246,7 +264,7 @@ def run_scaling() -> dict:
     )
     n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "240000"))
     exec_cores = int(os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"))
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # generate the shared input once (identical bytes for both legs); the
     # generator needs no big driver heap — a small one keeps its pre-touch
@@ -265,13 +283,20 @@ def run_scaling() -> dict:
     gen_spark.stop()
     pairs: list[dict] = []
     env = dict(os.environ, SPARK_GRAFT_SCALE_SRC=scale_src)
+    # window-validity gates: a pair only counts as EVIDENCE when its own
+    # window was clean — hypervisor steal below the threshold on both best
+    # legs, and the quotient not superlinear (the engine cannot scale >1;
+    # eff > 1 + tolerance means the lo leg was measured in a collapsed
+    # window and the quotient is host noise, not engine behavior)
+    steal_max = float(os.environ.get("SPARK_GRAFT_STEAL_MAX", "3.0"))
+    eff_cap = 1.05
     try:
         for rep in range(reps):
             out = tempfile.mktemp(suffix=".json")
             order = "hi-first" if rep % 2 else "lo-first"
             log(f"[bench] scaling pair {rep + 1}/{reps} ({order}): "
                 f"{lo // exec_cores} vs {hi // exec_cores} executors x "
-                f"{exec_cores} cores on {n_scale} docs")
+                f"{exec_cores} cores on {n_scale} docs, best-of-2 legs")
             subprocess.run(["sync"], check=False)
             r = None
             for attempt in (1, 2):
@@ -296,17 +321,39 @@ def run_scaling() -> dict:
             wl = r["legs"][str(lo)]["wall_sec"]
             wh = r["legs"][str(hi)]["wall_sec"]
             eff = (wl / wh) / (hi / lo)
-            pairs.append({"order": order, "eff": eff, **r["legs"]})
+            worst_steal = max(
+                r["legs"][str(lo)]["steal_pct"],
+                r["legs"][str(hi)]["steal_pct"],
+            )
+            valid = eff <= eff_cap and worst_steal <= steal_max
+            why = (
+                "clean-window" if valid
+                else (f"superlinear ({eff:.2f} > {eff_cap})" if eff > eff_cap
+                      else f"steal {worst_steal}% > {steal_max}%")
+            )
+            pairs.append({
+                "order": order, "eff": eff, "valid": valid,
+                "window": why, **r["legs"],
+            })
             log(f"[bench]   pair {rep + 1}: lo {wl:.1f}s, hi {wh:.1f}s "
-                f"-> efficiency {eff:.3f}")
+                f"-> efficiency {eff:.3f} [{why}]")
+            if valid:
+                # a clean window IS the measurement — further pairs would
+                # only re-sample host noise; stop (the early stop is on
+                # window cleanliness, never on the efficiency value)
+                break
     finally:
         shutil.rmtree(scale_dir, ignore_errors=True)
     if not pairs:
         log("[bench] scaling: zero successful pairs — no evidence")
         return {"error": "no successful pairs", "pair": [lo, hi]}
-    best = max(pairs, key=lambda p: p["eff"])
+    # headline = best VALID pair; if no pair had a clean window, fall back
+    # to the best non-superlinear pair and say so
+    valid_pairs = [p for p in pairs if p["valid"]]
+    sane_pairs = [p for p in pairs if p["eff"] <= eff_cap] or pairs
+    best = max(valid_pairs or sane_pairs, key=lambda p: p["eff"])
     eff = best["eff"]
-    eff_med = statistics.median(p["eff"] for p in pairs)
+    eff_med = statistics.median(p["eff"] for p in sane_pairs)
     # control: this box's own CPU scaling ceiling over the same core pair
     # (pure multiprocessing, no Spark) — the hardware bound on any
     # process-level scaling measurement here
@@ -317,8 +364,10 @@ def run_scaling() -> dict:
         "executors": [lo // exec_cores, hi // exec_cores],
         "n_docs": n_scale,
         "reps": len(pairs),
-        "protocol": "paired legs on one shared cluster per rep, order "
-                    "alternating; efficiency per pair; best pair reported",
+        "protocol": "palindrome best-of-2 legs per pair on one shared "
+                    "cluster, start order alternating; window-validity "
+                    "gates (steal, superlinear); early stop on first "
+                    "clean-window pair; best valid pair reported",
         f"local{lo}_docs_per_sec": round(
             n_scale / best[str(lo)]["wall_sec"], 1
         ),
@@ -331,16 +380,21 @@ def run_scaling() -> dict:
             {
                 "order": p["order"],
                 "eff": round(p["eff"], 3),
+                "valid": p["valid"],
+                "window": p["window"],
                 "lo_wall": round(p[str(lo)]["wall_sec"], 1),
                 "hi_wall": round(p[str(hi)]["wall_sec"], 1),
                 "lo_steal_pct": p[str(lo)]["steal_pct"],
                 "hi_steal_pct": p[str(hi)]["steal_pct"],
+                "lo_reps": p[str(lo)].get("reps", []),
+                "hi_reps": p[str(hi)].get("reps", []),
                 "lo_stages": p[str(lo)]["stages"],
                 "hi_stages": p[str(hi)]["stages"],
             }
             for p in pairs
         ],
         "efficiency": round(eff, 3),
+        "efficiency_window": best["window"],
         "efficiency_median": round(eff_med, 3),
         "cpu_ceiling_efficiency": round(ceiling, 3),
         "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
@@ -479,14 +533,20 @@ def _write_bench_md(r: dict) -> None:
             f" worker JVM + one JVM per executor, {s.get('executor_cores', 2)}"
             " cores each): N executors vs 4N executors, per the north rule —"
             " not one fat local[N] JVM.",
-            f"- PAIRED protocol: {s.get('reps', '?')} reps, each rep runs"
-            " BOTH legs back-to-back on one shared cluster (leg order"
-            " alternating across reps), 20k-doc warm-up build per leg (JIT,"
-            " codegen, python worker pools), one timed build per leg,"
-            " scratch deleted at pair end.  Efficiency is a per-pair"
-            " quotient — this guest's page-fault throughput drifts 3-4x"
-            " over minutes, so only same-window legs are comparable.  Best"
-            f" pair reported; median pair: {s.get('efficiency_median', '?')};"
+            f"- PAIRED protocol: {s.get('reps', '?')} pair(s) run; each"
+            " pair is a PALINDROME of four legs (lo,hi,hi,lo / hi,lo,lo,hi"
+            " alternating) on one shared cluster — each leg size measured"
+            " twice (early + late, cancelling linear drift), scored by its"
+            " best wall; 20k-doc warm-up build per leg (JIT, codegen,"
+            " python worker pools); scratch deleted at pair end."
+            "  Efficiency is a per-pair quotient — this guest's page-fault"
+            " throughput drifts 3-4x over minutes, so only same-window legs"
+            " are comparable.  Window-validity gates: hypervisor steal <="
+            " 3% on both legs and no superlinear quotient; the run stops at"
+            " the first clean-window pair (stop criterion is window"
+            " cleanliness, never the efficiency value).  Headline = best"
+            f" VALID pair (window: {s.get('efficiency_window', '?')});"
+            f" median over sane pairs: {s.get('efficiency_median', '?')};"
             f" all pairs (walls, steal%, per-stage): {s.get('pairs', [])!r}",
             f"- {lo} cores ({lo // s.get('executor_cores', 2)} executors): "
             f"{s[f'local{lo}_wall_sec']}s = {s[f'local{lo}_docs_per_sec']}"

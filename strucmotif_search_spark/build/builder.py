@@ -234,8 +234,11 @@ def _build_fused(
     """
     from .ids import assign_sorted_rank
 
+    # lang rides along (a few bytes/row) so doc_map never needs the source
+    # table again; the rank shuffle still never touches content
     ids = assign_sorted_rank(
-        docs.select("repo", "path", "commit"), ["repo", "path", "commit"], "doc_id"
+        docs.select("repo", "path", "commit", "lang"),
+        ["repo", "path", "commit"], "doc_id"
     ).withColumn(
         "shard", (F.col("doc_id") / docs_per_shard).cast("int")
     )
@@ -254,8 +257,13 @@ def _build_fused(
     ids_j = F.broadcast(ids) if ids_small else ids
 
     docs_keyed = docs.join(ids_j, on=["repo", "path", "commit"])
+    # with_sha: content digests are computed inside this SAME scan (sha2 is
+    # whole-stage-codegen'd before the Arrow transfer), making tokenize the
+    # build's ONLY pass over document content — doc_map below joins narrow
+    # tables instead of re-reading the corpus
     tf = term_frequencies(
-        docs_keyed, content_col=content_col, with_positions=with_positions
+        docs_keyed, content_col=content_col, with_positions=with_positions,
+        with_sha=True,
     ).join(
         F.broadcast(ids.select("doc_id", "shard")) if ids_small
         else ids.select("doc_id", "shard"),
@@ -302,13 +310,14 @@ def _build_fused(
     # shared doclens instead of the finished doc_map table precisely to
     # break the serial chain the previous layout had.
     def _mk_doc_map() -> None:
+        # narrow-only: digests come from the spill (one non-null row per
+        # doc), lang from the ids dictionary — NO second corpus scan
         ta = time.time()
-        meta = docs.select(
-            "repo", "path", "commit", "lang",
-            F.sha2(F.col(content_col), 256).alias("content_sha256"),
+        shas = tf.select("doc_id", "content_sha256").where(
+            F.col("content_sha256").isNotNull()
         )
         doc_map_df = (
-            meta.join(ids_j, on=["repo", "path", "commit"])
+            ids.join(shas, on="doc_id", how="left")
             .join(doclens, on="doc_id", how="left")
             .select(
                 "doc_id", "repo", "path", "commit", "lang", "content_sha256",
@@ -360,7 +369,9 @@ def _build_fused(
     from concurrent.futures import ThreadPoolExecutor
 
     tb = time.time()
-    store.write_table(build_terms(tf), "terms", gen)
+    # tf > 0 drops the sha-carrier sentinel rows of token-less docs; the
+    # vocabulary is exactly the real tokens
+    store.write_table(build_terms(tf.where(F.col("tf") > 0)), "terms", gen)
     terms = store.read_table(spark, "terms", gen)
     store.log(gen=gen, stage="terms", status="done",
               stage_wall_ms=int((time.time() - tb) * 1000))

@@ -65,6 +65,22 @@ DOCLEN_SCHEMA = StructType(
 )
 
 
+def _with_sha(schema: StructType) -> StructType:
+    """Schema variant carrying ``content_sha256`` on ONE row per document
+    (null elsewhere) — the fused build's single-content-pass trick: the
+    digest is computed JVM-side in the same scan that feeds tokenization,
+    so the build never re-reads document content for the doc_map stage.
+    A token-less document emits one sentinel row (term '', tf 0) so its
+    digest still reaches the spill; consumers filter ``tf > 0``."""
+    return StructType(
+        schema.fields + [StructField("content_sha256", StringType(), True)]
+    )
+
+
+TF_SHA_SCHEMA = _with_sha(TF_SCHEMA)
+TFP_SHA_SCHEMA = _with_sha(TFP_SCHEMA)
+
+
 def tokenize_expr(content: Column) -> Column:
     """Token array column via Catalyst ``regexp_extract_all`` (JVM-side,
     codegen).  Equivalent to the frozen contract."""
@@ -77,7 +93,10 @@ def doclen_expr(content: Column) -> Column:
 
 
 def _tf_batches(
-    batches: Iterator[pd.DataFrame], pattern: str, with_positions: bool = False
+    batches: Iterator[pd.DataFrame],
+    pattern: str,
+    with_positions: bool = False,
+    with_sha: bool = False,
 ) -> Iterator[pd.DataFrame]:
     """Arrow-native tf kernel: zero per-token Python objects.
 
@@ -94,6 +113,20 @@ def _tf_batches(
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    def sentinels(pdf: pd.DataFrame, rows: "np.ndarray") -> pd.DataFrame:
+        """One (term='', tf=0) row per token-less document, carrying its
+        digest — consumers filter tf > 0; the inner dictionary join drops
+        these before packing."""
+        out = {
+            "doc_id": pdf["doc_id"].to_numpy()[rows].astype("int64"),
+            "term": [""] * len(rows),
+            "tf": np.zeros(len(rows), dtype="int64"),
+        }
+        if with_positions:
+            out["positions"] = [[] for _ in range(len(rows))]
+        out["content_sha256"] = pdf["content_sha256"].to_numpy()[rows]
+        return pd.DataFrame(out)
+
     for pdf in batches:
         if len(pdf) == 0:
             continue
@@ -106,6 +139,8 @@ def _tf_batches(
         flat = flat.filter(mask)
         parent = parent.filter(mask)
         if len(flat) == 0:
+            if with_sha:
+                yield sentinels(pdf, np.arange(len(pdf)))
             continue
         d = pc.dictionary_encode(flat)
         codes = d.indices.to_numpy().astype(np.int64)
@@ -117,13 +152,28 @@ def _tf_batches(
             ucodes = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
             doc_ids = pdf["doc_id"].to_numpy()[urows]
             terms = d.dictionary.take(pa.array(ucodes)).to_pandas()
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": doc_ids.astype("int64"),
                     "term": terms.to_numpy(),
                     "tf": counts.astype("int64"),
                 }
             )
+            if with_sha:
+                # digest on the FIRST emitted row of each doc (uniq keys are
+                # ascending by row index, so first occurrence = first row)
+                present, first_idx = np.unique(urows, return_index=True)
+                sha = np.full(len(out), None, dtype=object)
+                sha[first_idx] = pdf["content_sha256"].to_numpy()[present]
+                out["content_sha256"] = sha
+                missing = np.setdiff1d(
+                    np.arange(len(pdf)), present, assume_unique=True
+                )
+                if missing.size:
+                    out = pd.concat(
+                        [out, sentinels(pdf, missing)], ignore_index=True
+                    )
+            yield out
             continue
         # token ordinal within its doc: arange minus the doc's first index
         row_change = np.empty(rows.size, dtype=bool)
@@ -142,7 +192,7 @@ def _tf_batches(
         doc_ids = pdf["doc_id"].to_numpy()[urows]
         terms = d.dictionary.take(pa.array(ucodes)).to_pandas()
         positions = np.split(spos, starts[1:])
-        yield pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "doc_id": doc_ids.astype("int64"),
                 "term": terms.to_numpy(),
@@ -150,10 +200,26 @@ def _tf_batches(
                 "positions": positions,
             }
         )
+        if with_sha:
+            present, first_idx = np.unique(urows, return_index=True)
+            sha = np.full(len(out), None, dtype=object)
+            sha[first_idx] = pdf["content_sha256"].to_numpy()[present]
+            out["content_sha256"] = sha
+            missing = np.setdiff1d(
+                np.arange(len(pdf)), present, assume_unique=True
+            )
+            if missing.size:
+                out = pd.concat(
+                    [out, sentinels(pdf, missing)], ignore_index=True
+                )
+        yield out
 
 
 def term_frequencies(
-    docs: DataFrame, content_col: str = "content", with_positions: bool = False
+    docs: DataFrame,
+    content_col: str = "content",
+    with_positions: bool = False,
+    with_sha: bool = False,
 ) -> DataFrame:
     """``(doc_id, content)`` -> ``(doc_id, term, tf[, positions])`` via
     mapInPandas.
@@ -163,12 +229,25 @@ def term_frequencies(
     StrucmotifUpdate.java:209).  ``with_positions`` also emits each term's
     ascending token ordinals (the occurrence-payload analogue,
     ArrayBucket.java:34).
+
+    ``with_sha`` additionally emits ``content_sha256`` on one row per doc
+    (computed JVM-side by ``sha2`` inside the SAME scan — whole-stage
+    codegen during the content read), making this the build's ONLY pass
+    over document content; token-less docs emit a (term '', tf 0) sentinel
+    row so every doc's digest reaches the output.
     """
-    src = docs.select("doc_id", F.col(content_col).alias("content"))
+    cols = ["doc_id", F.col(content_col).alias("content")]
+    if with_sha:
+        cols.append(F.sha2(F.col(content_col), 256).alias("content_sha256"))
+    src = docs.select(*cols)
     pattern = TOKEN_PATTERN
+    if with_sha:
+        schema = TFP_SHA_SCHEMA if with_positions else TF_SHA_SCHEMA
+    else:
+        schema = TFP_SCHEMA if with_positions else TF_SCHEMA
     return src.mapInPandas(
-        lambda it: _tf_batches(it, pattern, with_positions),
-        schema=TFP_SCHEMA if with_positions else TF_SCHEMA,
+        lambda it: _tf_batches(it, pattern, with_positions, with_sha),
+        schema=schema,
     )
 
 
