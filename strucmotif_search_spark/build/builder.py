@@ -285,13 +285,26 @@ def _build_fused(
     # splits a file (a split could cut a (shard, term) run mid-way).
     spill_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     tf_path = store.partials_path(gen, 0)
-    tf.repartition(spill_parts, "shard").sortWithinPartitions(
-        "shard", "term", "doc_id"
-    ).write.mode("overwrite").parquet(tf_path)
+    # RESUME (T3 on the fused path): a crashed build left its lineage WAL
+    # and possibly the spill + some published-stage tables behind.  Every
+    # stage with a terminal 'done' event is skipped; everything else is an
+    # idempotent overwrite.  Correctness rests on determinism: ids are the
+    # exact global sort rank (identical across runs at any parallelism),
+    # so a resumed run recomputes byte-identical inputs for the remaining
+    # stages.  The spill is only reusable while it exists (it is deleted on
+    # successful commit).
+    resumed = store.stage_done(gen, "partials") and Path(tf_path).exists()
+    if resumed:
+        store.log(gen=gen, stage="partials", status="resumed")
+    else:
+        tf.repartition(spill_parts, "shard").sortWithinPartitions(
+            "shard", "term", "doc_id"
+        ).write.mode("overwrite").parquet(tf_path)
     tf = spark.read.parquet(tf_path)
     n_postings = tf.count()  # parquet metadata only — no scan
-    store.log(gen=gen, stage="partials", status="done", n_postings=n_postings,
-              checkpointed=False, scratch=True)
+    if not resumed:
+        store.log(gen=gen, stage="partials", status="done",
+                  n_postings=n_postings, checkpointed=False, scratch=True)
 
     # Post-spill, the remaining stages form a shallow DAG over the tf spill
     # + ids dictionary + one shared doclens aggregate:
@@ -369,12 +382,15 @@ def _build_fused(
     from concurrent.futures import ThreadPoolExecutor
 
     tb = time.time()
-    # tf > 0 drops the sha-carrier sentinel rows of token-less docs; the
-    # vocabulary is exactly the real tokens
-    store.write_table(build_terms(tf.where(F.col("tf") > 0)), "terms", gen)
+    if not store.stage_done(gen, "terms"):
+        # tf > 0 drops the sha-carrier sentinel rows of token-less docs;
+        # the vocabulary is exactly the real tokens
+        store.write_table(
+            build_terms(tf.where(F.col("tf") > 0)), "terms", gen
+        )
+        store.log(gen=gen, stage="terms", status="done",
+                  stage_wall_ms=int((time.time() - tb) * 1000))
     terms = store.read_table(spark, "terms", gen)
-    store.log(gen=gen, stage="terms", status="done",
-              stage_wall_ms=int((time.time() - tb) * 1000))
 
     # the shared doclens aggregate: ONE scan of the spill, 240k-ish narrow
     # rows after map-side combine, pinned for the three consumers above
@@ -385,9 +401,13 @@ def _build_fused(
 
     pool = ThreadPoolExecutor(max_workers=3)
     side_futs = [
-        pool.submit(_mk_doc_map),
-        pool.submit(_mk_norms),
-        pool.submit(_mk_stats),
+        pool.submit(fn)
+        for stage, fn in (
+            ("doc_map", _mk_doc_map),
+            ("norms", _mk_norms),
+            ("stats", _mk_stats),
+        )
+        if not store.stage_done(gen, stage)
     ]
 
     # dictionary join: broadcast while the vocab is broadcastable (checked by
@@ -431,12 +451,13 @@ def _build_fused(
     # the query-time cogroup(postings, norms) exchange-free: see
     # IndexStore.write_bucketed.
     tb = time.time()
-    store.write_bucketed(
-        blocks, "postings", gen, n_buckets=spill_parts,
-        sort_cols=("term_id", "shard", "block_id"),
-    )
-    store.log(gen=gen, stage="pack", status="done",
-              stage_wall_ms=int((time.time() - tb) * 1000))
+    if not store.stage_done(gen, "pack"):
+        store.write_bucketed(
+            blocks, "postings", gen, n_buckets=spill_parts,
+            sort_cols=("term_id", "shard", "block_id"),
+        )
+        store.log(gen=gen, stage="pack", status="done",
+                  stage_wall_ms=int((time.time() - tb) * 1000))
     for fut in side_futs:  # join side chains (re-raises their failures)
         fut.result()
     pool.shutdown()

@@ -187,3 +187,63 @@ def test_fused_equals_checkpointed(spark, corpus, tmp_path_factory):
     t1 = SearchEngine(spark, s1).terms.toPandas().sort_values("term_id").reset_index(drop=True)
     t2 = SearchEngine(spark, s2).terms.toPandas().sort_values("term_id").reset_index(drop=True)
     assert t1.equals(t2)
+
+
+def test_fused_resume_mid_merge(spark, corpus, tmp_path_factory):
+    """Crash the FUSED (production) build after the spill but before the
+    pack/terms stages; resume the same generation; the final index must
+    equal an uninterrupted fused build, and the spill must not be
+    re-tokenized (T3 on the fused path)."""
+    full, base, extra = corpus
+    store_a = IndexStore(tmp_path_factory.mktemp("fresume"))
+
+    import strucmotif_search_spark.build.builder as bmod
+
+    real_terms = bmod.build_terms
+
+    def exploding_terms(df):
+        raise RuntimeError("simulated crash post-spill")
+
+    bmod.build_terms = exploding_terms
+    try:
+        with pytest.raises(Exception, match="simulated crash"):
+            build_index(
+                spark, base, store_a, docs_per_shard=64,
+                shards_per_chunk=1 << 20, checkpoint_partials=False,
+                gen="gen-000001",
+            )
+    finally:
+        bmod.build_terms = real_terms
+
+    assert store_a.current_gen() is None  # crash never published
+    assert store_a.stage_done("gen-000001", "partials")
+
+    build_index(
+        spark, base, store_a, docs_per_shard=64,
+        shards_per_chunk=1 << 20, checkpoint_partials=False,
+        gen="gen-000001",
+    )
+    assert store_a.current_gen() == "gen-000001"
+    # the resume reused the spill (exactly one partials 'done' + one
+    # 'resumed' event across both runs)
+    partials = [
+        e for e in store_a.lineage()
+        if e.get("gen") == "gen-000001" and e.get("stage") == "partials"
+    ]
+    assert [e["status"] for e in partials] == ["done", "resumed"]
+
+    store_b = IndexStore(tmp_path_factory.mktemp("fclean"))
+    build_index(
+        spark, base, store_b, docs_per_shard=64,
+        shards_per_chunk=1 << 20, checkpoint_partials=False,
+    )
+    assert _decoded_index(spark, store_a).equals(_decoded_index(spark, store_b))
+    dm_a = (
+        SearchEngine(spark, store_a).doc_map.toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    dm_b = (
+        SearchEngine(spark, store_b).doc_map.toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert dm_a.equals(dm_b)
