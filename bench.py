@@ -43,6 +43,36 @@ def _cpu_times() -> tuple[int, int]:
     return sum(vals), vals[7] if len(vals) > 7 else 0
 
 
+def _touch_pages(mb: int) -> None:
+    import mmap
+
+    n = mb << 20
+    m = mmap.mmap(-1, n)
+    for off in range(0, n, 4096):
+        m[off] = 1
+    m.close()
+
+
+def _fault_probe(procs: int = 8, mb: int = 128) -> float:
+    """Aggregate first-touch page-fault throughput (MB/s) with ``procs``
+    concurrent toucher processes — a DIRECT probe of this guest's dominant
+    noise source.  The collapse is concurrency-specific: single-threaded
+    touch stays ~1 GB/s even while 8-way aggregate drops BELOW the 1-proc
+    rate (measured here: 8p aggregate 1.4 GB/s vs healthy ~4-6 GB/s), and
+    hypervisor steal% stays low in such phases — so wall-clock legs timed
+    then are quietly 2-3x slow with no steal signature.  Each scaling leg
+    records its probe; pair validity requires it above a floor."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    ps = [mp.Process(target=_touch_pages, args=(mb,)) for _ in range(procs)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return procs * mb / (time.time() - t0)
+
+
 def _cpu_burn(n: int) -> None:
     import hashlib
 
@@ -186,6 +216,7 @@ def scale_pair(
                     root = tempfile.mkdtemp(prefix=f"bs_{cores}_", dir=scratch)
                     cleanup.append(root)
                     store = IndexStore(root)
+                    probe = _fault_probe()
                     jif0, st0 = _cpu_times()
                     t0 = time.time()
                     build_index(
@@ -217,10 +248,12 @@ def scale_pair(
                     reps[str(cores)].append({
                         "cores": cores, "executors": n_exec,
                         "wall_sec": wall, "docs_per_sec": n_docs / wall,
-                        "steal_pct": steal_pct, "stages": stages,
+                        "steal_pct": steal_pct,
+                        "probe_mb_s": round(probe, 1), "stages": stages,
                     })
                     log(f"[scale-pair] {cores}c: {wall:.1f}s "
-                        f"steal={steal_pct}% stages={stages}")
+                        f"steal={steal_pct}% probe={probe:.0f}MB/s "
+                        f"stages={stages}")
                 finally:
                     spark.stop()
         finally:
@@ -234,7 +267,8 @@ def scale_pair(
     for key, rr in reps.items():
         best = min(rr, key=lambda r: r["wall_sec"])
         legs[key] = dict(best, reps=[
-            {"wall_sec": r["wall_sec"], "steal_pct": r["steal_pct"]}
+            {"wall_sec": r["wall_sec"], "steal_pct": r["steal_pct"],
+             "probe_mb_s": r.get("probe_mb_s")}
             for r in rr
         ])
     with open(out_path, "w") as f:
@@ -289,6 +323,10 @@ def run_scaling() -> dict:
     # eff > 1 + tolerance means the lo leg was measured in a collapsed
     # window and the quotient is host noise, not engine behavior)
     steal_max = float(os.environ.get("SPARK_GRAFT_STEAL_MAX", "3.0"))
+    # fault-probe floor: concurrency-collapse phases show LOW steal but
+    # 8-way aggregate fault throughput near/below the 1-proc rate; legs
+    # timed then are silently 2-3x slow (see _fault_probe)
+    probe_min = float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "2500"))
     eff_cap = 1.05
     try:
         for rep in range(reps):
@@ -325,12 +363,23 @@ def run_scaling() -> dict:
                 r["legs"][str(lo)]["steal_pct"],
                 r["legs"][str(hi)]["steal_pct"],
             )
-            valid = eff <= eff_cap and worst_steal <= steal_max
-            why = (
-                "clean-window" if valid
-                else (f"superlinear ({eff:.2f} > {eff_cap})" if eff > eff_cap
-                      else f"steal {worst_steal}% > {steal_max}%")
+            min_probe = min(
+                r["legs"][str(lo)].get("probe_mb_s", 1e9),
+                r["legs"][str(hi)].get("probe_mb_s", 1e9),
             )
+            valid = (
+                eff <= eff_cap
+                and worst_steal <= steal_max
+                and min_probe >= probe_min
+            )
+            if valid:
+                why = "clean-window"
+            elif eff > eff_cap:
+                why = f"superlinear ({eff:.2f} > {eff_cap})"
+            elif worst_steal > steal_max:
+                why = f"steal {worst_steal}% > {steal_max}%"
+            else:
+                why = f"fault-collapse (probe {min_probe:.0f} < {probe_min:.0f} MB/s)"
             pairs.append({
                 "order": order, "eff": eff, "valid": valid,
                 "window": why, **r["legs"],
@@ -386,6 +435,8 @@ def run_scaling() -> dict:
                 "hi_wall": round(p[str(hi)]["wall_sec"], 1),
                 "lo_steal_pct": p[str(lo)]["steal_pct"],
                 "hi_steal_pct": p[str(hi)]["steal_pct"],
+                "lo_probe_mb_s": p[str(lo)].get("probe_mb_s"),
+                "hi_probe_mb_s": p[str(hi)].get("probe_mb_s"),
                 "lo_reps": p[str(lo)].get("reps", []),
                 "hi_reps": p[str(hi)].get("reps", []),
                 "lo_stages": p[str(lo)]["stages"],
@@ -436,7 +487,18 @@ def main() -> None:
     from strucmotif_search_spark.session import get_spark
 
     t_total = time.time()
-    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 16))
+    # modest fixed heap: sf0.1 is small, and the default cores*768m heap
+    # would pre-touch ~24 GB at session start — minutes of pure fault cost
+    # in a bad host window before the first timed number
+    spark = get_spark(
+        "bench", cores=cpus, shuffle_partitions=max(cpus, 16),
+        extra_conf={
+            "spark.driver.memory": "8g",
+            "spark.driver.extraJavaOptions":
+                "-Xms8g -XX:+UseParallelGC -XX:+UseTransparentHugePages "
+                "-XX:+AlwaysPreTouch -XX:ParallelGCThreads=8",
+        },
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
@@ -542,9 +604,12 @@ def _write_bench_md(r: dict) -> None:
             "  Efficiency is a per-pair quotient — this guest's page-fault"
             " throughput drifts 3-4x over minutes, so only same-window legs"
             " are comparable.  Window-validity gates: hypervisor steal <="
-            " 3% on both legs and no superlinear quotient; the run stops at"
-            " the first clean-window pair (stop criterion is window"
-            " cleanliness, never the efficiency value).  Headline = best"
+            " 3% on both legs, an 8-way concurrent fault-throughput probe"
+            " >= 2.5 GB/s before each leg (concurrency-collapse phases show"
+            " LOW steal but silently 2-3x-slow walls — the probe measures"
+            " the noise source directly), and no superlinear quotient; the"
+            " run stops at the first clean-window pair (stop criterion is"
+            " window cleanliness, never the efficiency value).  Headline = best"
             f" VALID pair (window: {s.get('efficiency_window', '?')});"
             f" median over sane pairs: {s.get('efficiency_median', '?')};"
             f" all pairs (walls, steal%, per-stage): {s.get('pairs', [])!r}",
