@@ -264,6 +264,57 @@ def remove_documents(
     return gen
 
 
+def compact(spark: SparkSession, store: IndexStore) -> str:
+    """Sort-merge consolidation (S7/S8): fold the current generation —
+    its own chunk files plus every `_refs.json` reference with its
+    delete predicates — into ONE fresh, fully bucketed generation with no
+    refs.  The analogue of the reference's bundle merge that rewrites
+    accumulated partial bundles into a single production bundle
+    (io/DefaultInvertedIndex.java:233-264); in Iceberg terms, a rewrite of
+    data files that collapses the manifest list and drops delete files.
+
+    Incremental ADD/REMOVE generations answer queries through a unioned,
+    exchange-paying read plan; compaction restores the exchange-free
+    bucketed layout.  Scale shape: decode -> one hash(shard) shuffle of
+    narrow rows -> repack, identical to the fused build's pack stage.
+    """
+    old_gen = store.current_gen()
+    meta = _meta(store, old_gen)
+    if meta.get("with_positions"):
+        raise NotImplementedError(
+            "compact() repacks (term_id, doc_id, tf); positional payloads "
+            "are only produced by full fused builds, which never carry refs"
+        )
+    t0 = time.time()
+    gen = store.new_gen()
+    store.log(gen=gen, stage="compact", status="start", base=old_gen)
+    dps = meta["docs_per_shard"]
+    rows = decode_postings(read_current_postings(spark, store)).withColumn(
+        "shard", (F.col("doc_id") / dps).cast("int")
+    )
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    blocks = pack_postings(
+        rows.select("shard", "term_id", "doc_id", "tf"), partitions=nb
+    )
+    store.write_bucketed(
+        blocks, "postings", gen, n_buckets=nb,
+        sort_cols=("term_id", "shard", "block_id"),
+    )
+    # doc tables are already correct for the current corpus — carry them
+    # into the new generation (norms re-bucketed alongside postings)
+    for t in ("doc_map", "terms", "stats"):
+        store.write_table(store.read_table(spark, t, old_gen), t, gen)
+    store.write_bucketed(
+        store.read_bucketed(spark, "norms", old_gen), "norms", gen,
+        n_buckets=nb, sort_cols=("shard",),
+    )
+    (Path(store.root) / gen / "_meta.json").write_text(json.dumps(meta))
+    store.publish(gen)
+    store.log(gen=gen, stage="compact", status="done",
+              wall_ms=int((time.time() - t0) * 1000))
+    return gen
+
+
 def verify_consistency(spark: SparkSession, store: IndexStore) -> dict:
     """E5 orphan check + df/cf cross-check; returns counts (all zeros = OK).
 

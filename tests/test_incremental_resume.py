@@ -247,3 +247,54 @@ def test_fused_resume_mid_merge(spark, corpus, tmp_path_factory):
         .sort_values("doc_id").reset_index(drop=True)
     )
     assert dm_a.equals(dm_b)
+
+
+def test_compact_collapses_refs_and_restores_bucketing(
+    spark, corpus, tmp_path_factory
+):
+    """ADD leaves a refs-unioned (exchange-paying) read plan; compact()
+    folds everything into one fresh bucketed generation: identical decoded
+    content, no refs, exchange-free query plan, query parity."""
+    import json as _json
+    from pathlib import Path
+
+    from strucmotif_search_spark.streaming.incremental import compact
+
+    full, base, extra = corpus
+    store = IndexStore(tmp_path_factory.mktemp("cmp"))
+    build_index(
+        spark, base, store, docs_per_shard=64, shards_per_chunk=1 << 20,
+        checkpoint_partials=False,
+    )
+    add_documents(spark, store, extra)
+    gen_before = store.current_gen()
+    assert (Path(store.root) / gen_before / "_refs.json").exists()
+    before = _decoded_index(spark, store)
+    q_before = [
+        (r["doc_id"], r["score"])
+        for r in SearchEngine(spark, store)
+        .search("import def", k=10, with_meta=False).collect()
+    ]
+
+    gen = compact(spark, store)
+    assert store.current_gen() == gen
+    assert not (Path(store.root) / gen / "_refs.json").exists()
+    bmeta = _json.loads((Path(store.root) / gen / "_buckets.json").read_text())
+    assert "postings" in bmeta and "norms" in bmeta
+
+    after = _decoded_index(spark, store)
+    assert before.equals(after)
+    eng = SearchEngine(spark, store)
+    q_after = [
+        (r["doc_id"], r["score"])
+        for r in eng.search("import def", k=10, with_meta=False).collect()
+    ]
+    assert q_before == q_after
+    plan = (
+        eng.search("import def", k=10, with_meta=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert verify_consistency(spark, store) == {
+        "orphan_doc_ids": 0, "inconsistent_terms": 0,
+    }
