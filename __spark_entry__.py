@@ -316,6 +316,49 @@ def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (round-3): each document's UTF-8 bytes become the
+    raster of a genuine binary-PPM (P6) payload; the pure-numpy decoder
+    (multimodal._decode_ppm) parses the header and recovers the pixels, and
+    the gate emits sha256(decoded pixel bytes) — DuckDB replays it by slicing
+    the same raster bytes straight out of the text, so a decoder that
+    mis-parses the header, mis-shapes the raster, or drops bytes hash-fails."""
+    from strucmotif_search_spark.operators import multimodal
+
+    # geometry in CHARACTERS with an explicit ASCII guard (chars == bytes),
+    # because DuckDB's sha256 hashes VARCHARs: both sides then digest the
+    # UTF-8 bytes of the same character slice by construction
+    w = (F.col("doc_id") % 8 + 1).cast("int")
+    h = F.floor(F.length("text") / (w * 3)).cast("int")
+    media = (
+        _docs(spark, sf_dir)
+        .where(F.length(F.encode(F.col("text"), "UTF-8")) == F.length("text"))
+        .select(F.col("doc_id").alias("media_id"), F.col("text"),
+                w.alias("w"), h.alias("h"))
+        .where(F.col("h") >= 1)
+        .select(
+            "media_id",
+            F.concat(
+                F.encode(
+                    F.format_string("P6\n%d %d\n255\n", F.col("w"), F.col("h")),
+                    "UTF-8",
+                ),
+                F.encode(
+                    F.substring(
+                        F.col("text"), F.lit(1),
+                        F.col("w") * F.col("h") * 3,
+                    ),
+                    "UTF-8",
+                ),
+            ).alias("payload"),
+        )
+    )
+    out = multimodal.decode_image_dims(media)
+    return out.select(
+        F.col("media_id").alias("doc_id"), "width", "height", "pixel_sha256"
+    )
+
+
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select("doc_id", textstats.token_count_expr(F.col("text")).alias("n_tokens"))
@@ -725,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_postings_roundtrip": _q_postings_roundtrip,
             "ii_classify_library": _q_classify,
             "mm_features": _q_mm_features,
+            "mm_decode": _q_mm_decode,
             "dd_exact_dedup": _q_exact_dedup,
             "dd_ngram_jaccard": _q_ngram_jaccard,
             "dd_minhash_lsh": _q_minhash_lsh,
@@ -825,6 +869,22 @@ WHERE s.nm = t.n
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        sha256(text) AS digest
 FROM documents
+""",
+            # replays the PPM gate's geometry (w = doc_id%8+1, h = floor
+            # coverage of the ASCII characters) and digests the same raster
+            # slice the decoder must recover from the encoded payload
+            "mm_decode": """
+WITH m AS (
+  SELECT doc_id,
+         (doc_id % 8 + 1)::INT AS width,
+         (length(text) // (3 * (doc_id % 8 + 1)))::INT AS height,
+         text
+  FROM documents
+  WHERE octet_length(encode(text)) = length(text)
+)
+SELECT doc_id, width, height,
+       sha256(substring(text, 1, width * height * 3)) AS pixel_sha256
+FROM m WHERE height >= 1
 """,
             "ii_terms_df_cf": f"""
 WITH {_TOK_CTE},

@@ -80,22 +80,33 @@ def build_index(
         # written with exactly `shuffle.partitions` files, so pack
         # parallelism == build parallelism).  Restored afterwards — query
         # paths want coalescing.
-        cost_key = "spark.sql.files.openCostInBytes"
-        try:
-            old_cost = spark.conf.get(cost_key)
-        except Exception:  # noqa: BLE001 — unset in this session
-            old_cost = None
-        spark.conf.set(cost_key, str(1 << 30))
+        # openCostInBytes prevents COALESCING spill files; maxPartitionBytes
+        # prevents SPLITTING them — a spill file larger than the default
+        # 128MB would be cut at row-group boundaries, breaking the
+        # one-bucket-file-per-pack-task write and block_id uniqueness on the
+        # presorted fast path.  Both pinned for the build window only.
+        build_conf = {
+            "spark.sql.files.openCostInBytes": str(1 << 30),
+            "spark.sql.files.maxPartitionBytes": str(1 << 36),  # 64 GiB
+        }
+        old_conf: dict[str, str | None] = {}
+        for key, val in build_conf.items():
+            try:
+                old_conf[key] = spark.conf.get(key)
+            except Exception:  # noqa: BLE001 — unset in this session
+                old_conf[key] = None
+            spark.conf.set(key, val)
         try:
             return _build_fused(
                 spark, docs, store, gen, docs_per_shard, content_col, t0,
                 with_positions=with_positions,
             )
         finally:
-            if old_cost is None:
-                spark.conf.unset(cost_key)
-            else:
-                spark.conf.set(cost_key, old_cost)
+            for key, old in old_conf.items():
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)
     if with_positions:
         raise ValueError(
             "positional indexing is supported on the fused path "

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from pathlib import Path
@@ -41,6 +42,10 @@ class IndexStore:
     def __init__(self, root: str | os.PathLike):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        # serializes _buckets.json read-modify-write: the fused build writes
+        # norms (ThreadPoolExecutor thread) and postings (main thread)
+        # bucketed concurrently
+        self._buckets_lock = threading.Lock()
 
     # ---- generations -------------------------------------------------
     def current_gen(self) -> str | None:
@@ -130,13 +135,18 @@ class IndexStore:
         if sort_cols:
             w = w.sortBy(sort_cols[0], *sort_cols[1:])
         w.saveAsTable(tbl)
-        meta = self._buckets_meta(gen)
-        meta[name] = {
-            "n_buckets": n_buckets,
-            "bucket_col": bucket_col,
-            "sort_cols": list(sort_cols),
-        }
-        (self.root / gen / "_buckets.json").write_text(json.dumps(meta))
+        with self._buckets_lock:
+            meta = self._buckets_meta(gen)
+            meta[name] = {
+                "n_buckets": n_buckets,
+                "bucket_col": bucket_col,
+                "sort_cols": list(sort_cols),
+            }
+            # temp-file + os.replace: a concurrent reader never sees a torn
+            # write (plain write_text is not atomic)
+            tmp = self.root / gen / f"._buckets.{uuid.uuid4().hex}.json"
+            tmp.write_text(json.dumps(meta))
+            os.replace(tmp, self.root / gen / "_buckets.json")
 
     def read_bucketed(
         self, spark: SparkSession, name: str, gen: str | None = None
@@ -179,23 +189,38 @@ class IndexStore:
 
         from pyspark.sql import functions as F
 
+        from .postings import POSTINGS_POS_SCHEMA, POSTINGS_SCHEMA
+
         gen = gen or self.current_gen()
         base = self.root / gen / "postings"
         refs_file = self.root / gen / "_refs.json"
+        meta_file = self.root / gen / "_meta.json"
+        with_pos = bool(
+            _json.loads(meta_file.read_text()).get("with_positions")
+        ) if meta_file.exists() else False
+        # canonical projection per part: parts come from heterogeneous
+        # layouts (fused flat bucketed files, chunk=N partition dirs,
+        # chunk=add/remove repacks) whose discovered schemas differ by
+        # partition columns — project each to the one true POSTINGS schema
+        # before the union (schema contract, not discovery accident)
+        canon = [
+            f.name
+            for f in (POSTINGS_POS_SCHEMA if with_pos else POSTINGS_SCHEMA)
+        ]
         parts = []
         if base.exists() and any(base.iterdir()):
             # bucket-aware when written bucketed (exchange-free queries);
             # a union with refs below keeps correctness but drops the
             # bucketed output partitioning — incremental gens pay one
-            # query-time exchange until the next full rebuild
-            parts.append(self.read_bucketed(spark, "postings", gen))
+            # query-time exchange until compact() restores the layout
+            parts.append(self.read_bucketed(spark, "postings", gen).select(*canon))
         if refs_file.exists():
             for ref in _json.loads(refs_file.read_text()):
                 df = spark.read.parquet(ref["path"])
                 excl = ref.get("exclude_shards", [])
                 if excl:
                     df = df.where(~F.col("shard").isin(excl))
-                parts.append(df)
+                parts.append(df.select(*canon))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

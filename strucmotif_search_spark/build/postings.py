@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -264,10 +265,19 @@ DECODED_SCHEMA = StructType(
     ]
 )
 
+DECODED_POS_SCHEMA = StructType(
+    DECODED_SCHEMA.fields
+    + [StructField("positions", ArrayType(LongType()), False)]
+)
 
-def decode_postings(blocks: DataFrame) -> DataFrame:
-    """Inverse of pack_postings -> (term_id, doc_id, tf).  Used by tests,
-    REMOVE rewrites (E3) and the orphan-consistency check (E5)."""
+
+def decode_postings(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
+    """Inverse of pack_postings -> (term_id, doc_id, tf[, positions]).  Used
+    by tests, ADD/REMOVE repacks (E1-E3) and the orphan-consistency check
+    (E5).  ``with_positions=True`` additionally decodes each posting's
+    occurrence-position array so a positional index survives a repack
+    round-trip (the payload-carrying CSR surgery analogue,
+    io/DefaultInvertedIndex.java:472-510)."""
 
     def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..codec import unpack_block
@@ -276,27 +286,30 @@ def decode_postings(blocks: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             out_terms, out_docs, out_tfs = [], [], []
-            for term_id, gaps, tfb in zip(
-                pdf["term_id"].to_numpy(),
-                pdf["doc_gaps"],
-                pdf["tfs"],
-            ):
-                ids, t = unpack_block(bytes(gaps), bytes(tfb))
-                out_terms.append(np.full(ids.size, term_id, dtype=np.int64))
+            out_pos: list = []
+            for row in pdf.itertuples(index=False):
+                ids, t = unpack_block(bytes(row.doc_gaps), bytes(row.tfs))
+                out_terms.append(np.full(ids.size, row.term_id, dtype=np.int64))
                 out_docs.append(ids)
                 out_tfs.append(t)
+                if with_positions:
+                    out_pos.extend(unpack_positions(bytes(row.pos_data), t))
             if not out_docs:
                 continue
-            yield pd.DataFrame(
-                {
-                    "term_id": np.concatenate(out_terms),
-                    "doc_id": np.concatenate(out_docs),
-                    "tf": np.concatenate(out_tfs),
-                }
-            )
+            cols = {
+                "term_id": np.concatenate(out_terms),
+                "doc_id": np.concatenate(out_docs),
+                "tf": np.concatenate(out_tfs),
+            }
+            if with_positions:
+                cols["positions"] = out_pos
+            yield pd.DataFrame(cols)
 
-    return blocks.select("term_id", "doc_gaps", "tfs").mapInPandas(
-        _unpack, schema=DECODED_SCHEMA
+    cols = ["term_id", "doc_gaps", "tfs"] + (
+        ["pos_data"] if with_positions else []
+    )
+    return blocks.select(*cols).mapInPandas(
+        _unpack, schema=DECODED_POS_SCHEMA if with_positions else DECODED_SCHEMA
     )
 
 

@@ -79,8 +79,14 @@ class SearchEngine:
         self._vocab: dict[str, tuple[int, int] | None] = {}
         # per-predicate norms cache (P3 search-space filters): building the
         # filtered norms sidecar is a corpus-wide job — pay it once per
-        # distinct predicate, not once per query
-        self._pred_norms: dict[str, DataFrame] = {}
+        # distinct predicate, not once per query.  Bounded LRU: each entry
+        # pins a corpus-wide sidecar in executor memory, so a long-lived
+        # engine serving many distinct predicates must evict (unpersist)
+        # rather than grow without bound.
+        from collections import OrderedDict
+
+        self._pred_norms: OrderedDict[str, DataFrame] = OrderedDict()
+        self._pred_norms_cap = 8
 
     # ---- planning ------------------------------------------------------
     def _vocab_lookup(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -136,13 +142,20 @@ class SearchEngine:
         plan = self.plan(query, expansions=expansions)
         norms = self.norms
         if doc_predicate is not None:
-            key = str(doc_predicate._jc)
-            if key not in self._pred_norms:
+            # public key derivation: str(Column) renders the expression tree
+            # (works under classic and Connect; no private _jc access)
+            key = str(doc_predicate)
+            if key in self._pred_norms:
+                self._pred_norms.move_to_end(key)
+            else:
                 from .build.norms import build_norms
 
                 self._pred_norms[key] = build_norms(
                     self.doc_map.where(doc_predicate)
                 ).cache()
+                while len(self._pred_norms) > self._pred_norms_cap:
+                    _, evicted = self._pred_norms.popitem(last=False)
+                    evicted.unpersist()
             norms = self._pred_norms[key]
         n_shards = self.meta.get("n_shards") or 0
         if prune_shards is None:
@@ -178,10 +191,14 @@ class SearchEngine:
         )
         return self._materialize(hits, k) if with_meta else hits
 
-    def phrase_search(self, phrase: str, k: int = 10) -> DataFrame:
+    def phrase_search(
+        self, phrase: str, k: int = 10, decoded_blocks_acc=None
+    ) -> DataFrame:
         """Exact-sequence phrase query over a positional index (build with
         ``with_positions=True``) — the positional-join analogue
-        (TargetStructure.java:78-111).  Returns (doc_id, phrase_tf)."""
+        (TargetStructure.java:78-111).  Returns (doc_id, phrase_tf).
+        ``decoded_blocks_acc``: optional accumulator counting blocks
+        payload-decoded (skip-pointer instrumentation)."""
         if not self.meta.get("with_positions"):
             raise ValueError(
                 "phrase_search requires a positional index "
@@ -189,7 +206,10 @@ class SearchEngine:
             )
         from .query.phrase import phrase_topk
 
-        return phrase_topk(self.spark, self.postings, self.terms, phrase, k=k)
+        return phrase_topk(
+            self.spark, self.postings, self.terms, phrase, k=k,
+            decoded_blocks_acc=decoded_blocks_acc,
+        )
 
     def classify(
         self,

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, decoded/feature-extracted via Arrow-batched pandas UDFs.
 
-The decode kernels themselves are STUBBED (the image/audio libraries are not
-in this container): ``decode_image`` raises ``NotImplementedError`` unless
+``decode_image`` REALLY decodes two dependency-free formats in pure numpy —
+binary PPM (P6) and uncompressed 24-bit BMP — so the decode path is exercised
+on real pixel data end-to-end.  Formats that need an external codec library
+(PNG/JPEG/...) remain stubbed: they raise ``NotImplementedError`` unless
 ``fake=True``, in which case a deterministic fake decoder (seeded from the
 payload digest) stands in so the Spark-side plumbing — schema, partitioning,
-UDF signature, Arrow batch shape — is real and tested end-to-end.
+UDF signature, Arrow batch shape — stays testable for any payload.
 
 Scale shape: media rows are wide (MBs); ``mapInPandas`` with a bounded Arrow
 batch size keeps executor memory flat, and feature extraction emits only the
@@ -89,21 +91,130 @@ def synthesize_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
     return spark.range(n_rows).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload to an HxWx3 array.
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 array -> binary PPM (P6) payload."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("PPM P6 encodes exactly 3 channels")
+    header = f"P6\n{w} {h}\n255\n".encode("ascii")
+    return header + np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
 
-    STUB: real decoding needs an image library not present in this container.
-    With ``fake=True`` a deterministic pseudo-image (seeded from the payload
-    digest) is returned so downstream plumbing is testable.
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6): ASCII header `P6 <w> <h> <maxval>` with arbitrary
+    whitespace and `#` comments, then w*h*3 raw bytes."""
+    pos = 2  # past magic
+    fields: list[int] = []
+    n = len(payload)
+    while len(fields) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < n and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM (maxval 255) supported")
+    need = w * h * 3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER), bottom-up or top-down
+    rows, 4-byte row padding; returns HxWx3 RGB."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to an HxWx3 uint8 array.
+
+    Real pure-numpy decoders for binary PPM (P6) and uncompressed 24-bit
+    BMP; other formats need codec libraries not present in this container
+    and raise ``NotImplementedError`` unless ``fake=True``, in which case a
+    deterministic pseudo-image (seeded from the payload digest) stands in so
+    downstream plumbing is testable for any payload.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image library not available here; "
-            "pass fake=True for the deterministic test decoder"
-        )
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    if fake:
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    head = bytes(payload[:2])
+    if head == b"P6":
+        return _decode_ppm(bytes(payload))
+    if head == b"BM":
+        return _decode_bmp(bytes(payload))
+    raise NotImplementedError(
+        "only PPM(P6)/BMP(24-bit) decode natively; other formats require an "
+        "image library not available here — pass fake=True for the "
+        "deterministic test decoder"
+    )
+
+
+DECODED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("pixel_sha256", StringType(), False),
+    ]
+)
+
+
+def decode_image_dims(media: DataFrame) -> DataFrame:
+    """Really decode each payload and emit (media_id, width, height,
+    sha256(decoded pixel bytes)) — the digest proves the decoder inverted
+    the encoder bit-exactly, and the output is replayable by any engine that
+    can slice the raster bytes back out of the payload."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, digs = [], [], []
+            for payload in pdf["payload"]:
+                arr = decode_image(bytes(payload))
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                digs.append(hashlib.sha256(arr.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "pixel_sha256": digs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=DECODED_IMAGE_SCHEMA
+    )
 
 
 def extract_features(

@@ -101,8 +101,16 @@ def bm25_topk(
     for t in base_terms:
         members = [t]
         for syn in (expansions or {}).get(t, []):
-            if syn not in members:
-                members.append(syn)
+            # same normalization + single-token validation as the engine
+            # planner (plan_query) — a non-normalized synonym must not make
+            # oracle and engine silently diverge
+            toks = tokenize(syn)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"expansion {syn!r} of {t!r} is not a single term"
+                )
+            if toks[0] not in members:
+                members.append(toks[0])
         groups.append(members)
 
     # resolve each group: present members, combined postings, group df

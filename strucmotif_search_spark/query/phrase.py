@@ -10,12 +10,24 @@ CONSECUTIVE positions, i.e. the intersection over i of
 (positions(term_i) - i) is non-empty — a positional equi-join on the shifted
 occurrence lists.
 
-Execution: per shard (cogroup task), each phrase slot's postings decode to
-flat (doc_id, position) pairs; pairs are packed into one int64 key
-``doc_id * 2^22 + (position - slot)`` and the slots are intersected with
-``np.intersect1d`` — fully vectorized across all candidate docs at once, no
-per-doc loop.  Match count per doc = phrase term frequency.  Global result:
-``orderBy(phrase_tf desc, doc_id asc).limit(k)``.
+Execution, per shard (cogroup task), in two phases that mirror the
+reference's progressive candidate narrowing (DefaultTargetAssembler
+.java:92-111,227-239):
+
+1. **Doc-id narrowing, rarest term first.**  Terms are processed in
+   df-ascending order; each term's posting blocks are decoded ONLY when
+   their ``[first_doc_id, max_doc_id]`` skip range can still contain a
+   surviving candidate, and the candidate set is intersected after each
+   term.  A phrase containing a head term (``import``, ``the``) therefore
+   decodes a handful of that term's blocks — the ones overlapping the rare
+   term's few docs — instead of its near-full posting list.
+2. **Position intersection over survivors only.**  Each phrase slot's
+   surviving blocks contribute ``doc_id * 2^22 + (position - slot)`` keys
+   for candidate docs only; slots are intersected with ``np.intersect1d``
+   — fully vectorized, no per-doc loop.  Match count per doc = phrase term
+   frequency.
+
+Global result: ``orderBy(phrase_tf desc, doc_id asc).limit(k)``.
 """
 
 from __future__ import annotations
@@ -33,41 +45,115 @@ _RESULT = "doc_id long, phrase_tf long"
 _POS_CAP = 1 << 22  # max positions per doc supported by the packed key
 
 
+def _empty() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": [], "phrase_tf": []}).astype(
+        {"doc_id": "int64", "phrase_tf": "int64"}
+    )
+
+
 def phrase_topk(
     spark: SparkSession,
     postings: DataFrame,
     terms_table: DataFrame,
     phrase: str,
     k: int = 10,
+    decoded_blocks_acc=None,
 ) -> DataFrame:
     """Top-k docs containing the exact token sequence of ``phrase``, ranked
-    by occurrence count (ties -> ascending doc_id)."""
+    by occurrence count (ties -> ascending doc_id).
+
+    ``decoded_blocks_acc``: optional Spark accumulator incremented by the
+    number of posting blocks actually payload-decoded — instrumentation for
+    the skip-pointer effectiveness (tests/bench evidence).
+    """
     seq = tokenize(phrase)
     if not seq:
         return spark.createDataFrame([], _RESULT)
     lookup = {
-        r["term"]: int(r["term_id"])
-        for r in terms_table.where(F.col("term").isin(sorted(set(seq)))).collect()
+        r["term"]: (int(r["term_id"]), int(r["df"]))
+        for r in terms_table.where(
+            F.col("term").isin(sorted(set(seq)))
+        ).select("term", "term_id", "df").collect()
     }
     if any(t not in lookup for t in seq):  # absent term -> empty (O5 analogue)
         return spark.createDataFrame([], _RESULT)
-    slots = [(i, lookup[t]) for i, t in enumerate(seq)]
+    slots = [(i, lookup[t][0]) for i, t in enumerate(seq)]
+    # narrowing order: df ascending (rarest first), term_id tie-break
+    order_tids = [
+        tid for tid, _df in sorted(
+            {lookup[t] for t in seq}, key=lambda p: (p[1], p[0])
+        )
+    ]
     tids = sorted({tid for _, tid in slots})
 
     blocks = postings.where(F.col("term_id").isin(tids)).select(
-        "shard", "term_id", "doc_gaps", "tfs", "pos_data"
+        "shard", "term_id", "first_doc_id", "max_doc_id",
+        "doc_gaps", "tfs", "pos_data"
     )
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        for tid_val, g in pdf.groupby("term_id", sort=False):
-            docs_l, pos_l = [], []
+        by_tid = {int(t): g for t, g in pdf.groupby("term_id", sort=False)}
+        if any(tid not in by_tid for tid in order_tids):
+            return _empty()  # a slot with no postings here -> no match
+        n_decoded = 0
+
+        def done(out: pd.DataFrame) -> pd.DataFrame:
+            if decoded_blocks_acc is not None:
+                decoded_blocks_acc.add(n_decoded)
+            return out
+
+        # --- phase 1: doc-id narrowing, rarest first, skip by block range ---
+        cand: np.ndarray | None = None  # sorted unique candidate doc_ids
+        kept: dict[int, list] = {}      # tid -> [(ids, tfs, pos_bytes), ...]
+        for tid in order_tids:
+            g = by_tid[tid].sort_values("first_doc_id")
+            rows_kept: list = []
+            docs_l: list = []
             for row in g.itertuples(index=False):
+                if cand is not None:
+                    # block skip: no candidate falls in [first, max]
+                    j = int(np.searchsorted(cand, row.first_doc_id))
+                    if j >= cand.size or cand[j] > row.max_doc_id:
+                        continue
                 ids, tfs = unpack_block(bytes(row.doc_gaps), bytes(row.tfs))
-                plists = unpack_positions(bytes(row.pos_data), tfs)
-                docs_l.append(np.repeat(ids, tfs))
+                n_decoded += 1
+                if cand is not None:
+                    m = np.isin(ids, cand, assume_unique=True)
+                    if not m.any():
+                        continue
+                    docs_l.append(ids[m])
+                else:
+                    docs_l.append(ids)
+                rows_kept.append((ids, tfs, row.pos_data))
+            if not docs_l:
+                return done(_empty())
+            # blocks of one (shard, term) run are doc-ascending + disjoint,
+            # so the concat is already sorted unique
+            term_docs = np.concatenate(docs_l)
+            cand = (
+                term_docs if cand is None
+                else cand[np.isin(cand, term_docs, assume_unique=True)]
+            )
+            if cand.size == 0:
+                return done(_empty())
+            kept[tid] = rows_kept
+
+        # --- phase 2: positional intersection over surviving docs only ---
+        keys: np.ndarray | None = None
+        for slot, tid in slots:
+            parts: list = []
+            for ids, tfs, pos_bytes in kept[tid]:
+                m = np.isin(ids, cand, assume_unique=True)
+                sel = np.flatnonzero(m)
+                if sel.size == 0:
+                    continue
+                plists = unpack_positions(bytes(pos_bytes), tfs)
+                n_decoded += 1
+                d = np.repeat(ids[sel], tfs[sel])
                 pos = (
-                    np.concatenate(plists) if plists else np.empty(0, np.int64)
+                    np.concatenate([plists[j] for j in sel])
+                    if sel.size
+                    else np.empty(0, np.int64)
                 )
                 if pos.size and int(pos.max()) >= _POS_CAP - 64:
                     # the packed int64 key cannot represent positions beyond
@@ -78,33 +164,23 @@ def phrase_topk(
                         f"document position {int(pos.max())} exceeds the "
                         f"packed-key position capacity {_POS_CAP - 64}"
                     )
-                pos_l.append(pos)
-            decoded[int(tid_val)] = (
-                np.concatenate(docs_l),
-                np.concatenate(pos_l),
-            )
-        keys = None
-        for slot, tid_val in slots:
-            if tid_val not in decoded:
-                return pd.DataFrame({"doc_id": [], "phrase_tf": []}).astype(
-                    {"doc_id": "int64", "phrase_tf": "int64"}
-                )
-            d, p = decoded[tid_val]
-            # +64 keeps (p - slot) non-negative for any phrase length < 64,
-            # so shifted keys cannot underflow into the previous doc's range
-            kk = d * _POS_CAP + (p - slot) + 64
+                # +64 keeps (pos - slot) non-negative for any phrase length
+                # < 64, so shifted keys cannot underflow into the previous
+                # doc's range
+                parts.append(d * _POS_CAP + (pos - slot) + 64)
+            if not parts:
+                return done(_empty())
+            kk = np.concatenate(parts)
             keys = kk if keys is None else np.intersect1d(keys, kk)
             if keys.size == 0:
-                break
+                return done(_empty())
         if keys is None or keys.size == 0:
-            return pd.DataFrame({"doc_id": [], "phrase_tf": []}).astype(
-                {"doc_id": "int64", "phrase_tf": "int64"}
-            )
+            return done(_empty())
         docs = (keys - 64) // _POS_CAP
         uniq, counts = np.unique(docs, return_counts=True)
-        return pd.DataFrame(
+        return done(pd.DataFrame(
             {"doc_id": uniq.astype("int64"), "phrase_tf": counts.astype("int64")}
-        )
+        ))
 
     scored = blocks.groupBy("shard").applyInPandas(score_shard, schema=_RESULT)
     return scored.orderBy(F.desc("phrase_tf"), F.asc("doc_id")).limit(k)

@@ -86,6 +86,7 @@ def add_documents(
     old_gen = store.current_gen()
     meta = _meta(store, old_gen)
     dps = meta["docs_per_shard"]
+    wp = bool(meta.get("with_positions"))
     doc_map = store.read_table(spark, "doc_map")
     terms = store.read_table(spark, "terms")
 
@@ -114,9 +115,11 @@ def add_documents(
         store.log(gen=gen, stage="add", status="done", n_added=0)
         return gen
 
-    # tokenize only the new docs
+    # tokenize only the new docs (positions ride along on a positional index
+    # so the repacked shards keep phrase capability)
     tf_new = term_frequencies(
-        unknown.join(ids, on=DOC_KEY), content_col=content_col
+        unknown.join(ids, on=DOC_KEY), content_col=content_col,
+        with_positions=wp,
     ).join(ids.select("doc_id", "shard"), on="doc_id").persist()
     tf_new.count()
 
@@ -168,16 +171,16 @@ def add_documents(
     store.write_table(build_norms(doc_map_new), "norms", gen)
 
     # postings: repack ONLY affected shards = old decoded rows ∪ new tf
+    pcols = ["shard", "term_id", "doc_id", "tf"] + (["positions"] if wp else [])
     old_affected = decode_postings(
-        store.read_postings(spark, old_gen).where(F.col("shard").isin(affected))
+        store.read_postings(spark, old_gen).where(F.col("shard").isin(affected)),
+        with_positions=wp,
     ).withColumn("shard", (F.col("doc_id") / dps).cast("int"))
     new_with_ids = tf_new.join(terms_new.select("term", "term_id"), on="term").select(
-        "shard", "term_id", "doc_id", "tf"
+        *pcols
     )
-    union = old_affected.select("shard", "term_id", "doc_id", "tf").unionByName(
-        new_with_ids
-    )
-    pack_postings(union).write.mode("overwrite").parquet(
+    union = old_affected.select(*pcols).unionByName(new_with_ids)
+    pack_postings(union, with_positions=wp).write.mode("overwrite").parquet(
         str(Path(store.root) / gen / "postings" / "chunk=add")
     )
     (Path(store.root) / gen / "_refs.json").write_text(
@@ -204,6 +207,7 @@ def remove_documents(
     old_gen = store.current_gen()
     meta = _meta(store, old_gen)
     dps = meta["docs_per_shard"]
+    wp = bool(meta.get("with_positions"))
     doc_map = store.read_table(spark, "doc_map")
     terms = store.read_table(spark, "terms")
 
@@ -221,7 +225,8 @@ def remove_documents(
     doc_map_new = store.read_table(spark, "doc_map", gen)
 
     old_affected = decode_postings(
-        store.read_postings(spark, old_gen).where(F.col("shard").isin(affected))
+        store.read_postings(spark, old_gen).where(F.col("shard").isin(affected)),
+        with_positions=wp,
     )
     removed_tf = old_affected.join(victim_ids, on="doc_id", how="left_semi")
     survivors = old_affected.join(victim_ids, on="doc_id", how="left_anti")
@@ -244,10 +249,12 @@ def remove_documents(
     store.write_table(build_stats(doc_map_new), "stats", gen)
     store.write_table(build_norms(doc_map_new), "norms", gen)
 
+    pcols = ["shard", "term_id", "doc_id", "tf"] + (["positions"] if wp else [])
     surviving_blocks = pack_postings(
         survivors.withColumn("shard", (F.col("doc_id") / dps).cast("int")).select(
-            "shard", "term_id", "doc_id", "tf"
-        )
+            *pcols
+        ),
+        with_positions=wp,
     )
     surviving_blocks.write.mode("overwrite").parquet(
         str(Path(store.root) / gen / "postings" / "chunk=remove")
@@ -280,21 +287,18 @@ def compact(spark: SparkSession, store: IndexStore) -> str:
     """
     old_gen = store.current_gen()
     meta = _meta(store, old_gen)
-    if meta.get("with_positions"):
-        raise NotImplementedError(
-            "compact() repacks (term_id, doc_id, tf); positional payloads "
-            "are only produced by full fused builds, which never carry refs"
-        )
+    wp = bool(meta.get("with_positions"))
     t0 = time.time()
     gen = store.new_gen()
     store.log(gen=gen, stage="compact", status="start", base=old_gen)
     dps = meta["docs_per_shard"]
-    rows = decode_postings(read_current_postings(spark, store)).withColumn(
-        "shard", (F.col("doc_id") / dps).cast("int")
-    )
+    rows = decode_postings(
+        read_current_postings(spark, store), with_positions=wp
+    ).withColumn("shard", (F.col("doc_id") / dps).cast("int"))
     nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pcols = ["shard", "term_id", "doc_id", "tf"] + (["positions"] if wp else [])
     blocks = pack_postings(
-        rows.select("shard", "term_id", "doc_id", "tf"), partitions=nb
+        rows.select(*pcols), partitions=nb, with_positions=wp
     )
     store.write_bucketed(
         blocks, "postings", gen, n_buckets=nb,

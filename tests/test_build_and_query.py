@@ -225,3 +225,23 @@ def test_search_with_metadata(built):
     assert {"doc_id", "score", "repo", "path", "commit", "lang"} <= set(
         hits[0].asDict()
     )
+
+
+def test_fused_build_query_plan_is_exchange_free(spark, tmp_path_factory):
+    """The production (fused, bucketed) layout must answer a BM25 query in
+    one exchange-free stage + TakeOrderedAndProject (PLANS.md §11): both
+    cogroup sides come hash(shard)-clustered straight from the bucketed
+    scan.  Guards the read-path projection from silently dropping the
+    bucketed output partitioning."""
+    store = IndexStore(tmp_path_factory.mktemp("fusedplan"))
+    docs = generate_corpus(spark, 300, seed=3, partitions=8)
+    build_index(
+        spark, docs, store, docs_per_shard=64, shards_per_chunk=1 << 20,
+        checkpoint_partials=False,
+    )
+    eng = SearchEngine(spark, store)
+    plan = (
+        eng.search("import def", k=10, with_meta=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -249,6 +249,38 @@ def test_fused_resume_mid_merge(spark, corpus, tmp_path_factory):
     assert dm_a.equals(dm_b)
 
 
+def test_remove_on_fused_base_reads_back(spark, corpus, tmp_path_factory):
+    """REMOVE against the fused/bucketed production layout (the layout
+    __spark_entry__ and bench publish) must produce a readable generation —
+    twin of the ADD-path regression fixed in round 3."""
+    full, base, extra = corpus
+    store = IndexStore(tmp_path_factory.mktemp("rmfused"))
+    build_index(
+        spark, full, store, docs_per_shard=64, shards_per_chunk=1 << 20,
+        checkpoint_partials=False,
+    )
+    remove_documents(spark, store, extra.select("repo", "path", "commit"))
+    eng = SearchEngine(spark, store)
+    assert eng.doc_map.count() == N0
+    assert verify_consistency(spark, store) == {
+        "orphan_doc_ids": 0, "inconsistent_terms": 0,
+    }
+    # query parity vs oracle over the surviving corpus
+    dm = eng.doc_map.select("doc_id", "repo", "path", "commit").toPandas()
+    src = base.select("repo", "path", "commit", "content").toPandas()
+    merged = dm.merge(src, on=["repo", "path", "commit"])
+    oracle = build_oracle(merged["doc_id"].tolist(), merged["content"].tolist())
+    exp = bm25_topk(oracle, "import def", k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in eng.search("import def", k=10, with_meta=False).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in exp], rtol=0, atol=1e-12
+    )
+
+
 def test_compact_collapses_refs_and_restores_bucketing(
     spark, corpus, tmp_path_factory
 ):

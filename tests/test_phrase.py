@@ -5,6 +5,7 @@ import re
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from strucmotif_search_spark import TOKEN_PATTERN
 from strucmotif_search_spark.build import IndexStore, build_index
@@ -114,3 +115,56 @@ def test_phrase_requires_positional_index(spark, tmp_path_factory):
 def test_bm25_unaffected_by_positions(engine):
     hits = engine.search("new york", k=10, mode="and", with_meta=False).collect()
     assert len(hits) >= 3  # docs 0, 1(!has both), 2, 3 contain both terms
+
+
+def test_head_term_phrase_skips_blocks(spark, tmp_path_factory):
+    """Rarest-first narrowing: a phrase pairing a rare term with a head term
+    must NOT decode the head term's full posting list — only blocks whose
+    skip range overlaps the rare term's few docs.  Verified by the
+    decoded-blocks accumulator against the head term's total block count,
+    and for correctness against brute force."""
+    from strucmotif_search_spark.build import IndexStore, build_index
+    from strucmotif_search_spark.corpus import generate_corpus
+
+    store = IndexStore(tmp_path_factory.mktemp("headphrase"))
+    docs = generate_corpus(spark, 4000, seed=13, partitions=8).cache()
+    docs.count()
+    # ONE big shard so the head term's run spans many 128-doc blocks —
+    # in-shard block-range skipping is what's under test
+    build_index(
+        spark, docs, store, docs_per_shard=4096, shards_per_chunk=1 << 20,
+        checkpoint_partials=False, with_positions=True,
+    )
+    eng = SearchEngine(spark, store)
+    # rare: a per-repo unique identifier; head: 'import' (df ~ 0.9 * N)
+    rare = (
+        eng.terms.orderBy("df", "term_id").where(F.col("df") <= 3)
+        .first()["term"]
+    )
+    head_id = eng.terms.where(F.col("term") == "import").first()["term_id"]
+    total_head_blocks = eng.postings.where(
+        F.col("term_id") == head_id
+    ).count()
+    assert total_head_blocks > 10, (
+        f"corpus too small to exercise skipping ({total_head_blocks} blocks)"
+    )
+    acc = spark.sparkContext.accumulator(0)
+    got = eng.phrase_search(f"{rare} import", k=100, decoded_blocks_acc=acc)
+    got_rows = {(r["doc_id"], r["phrase_tf"]) for r in got.collect()}
+    # brute-force truth over the raw corpus
+    dm = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in eng.doc_map.collect()
+    }
+    expected = set()
+    for r in docs.collect():
+        cnt = _phrase_count(r["content"], [rare, "import"])
+        if cnt > 0:
+            expected.add((dm[(r["repo"], r["path"], r["commit"])], cnt))
+    assert got_rows == expected
+    # skip evidence: the whole query decoded fewer blocks than the head
+    # term's posting list alone holds (the old path decoded every block of
+    # every slot, rare AND head)
+    assert acc.value < total_head_blocks, (
+        f"decoded {acc.value} blocks; head term alone has {total_head_blocks}"
+    )

@@ -75,3 +75,24 @@ def test_lang_predicate(engine):
     ).collect()
     assert len(hits) > 0
     assert all(r["lang"] == "py" for r in hits)
+
+
+def test_predicate_norms_cache_is_bounded(engine):
+    """Cycling distinct predicates must not grow cached sidecars without
+    bound: the per-predicate norms cache is an LRU that unpersists on
+    eviction."""
+    cap = engine._pred_norms_cap
+    for i in range(cap + 5):
+        engine.search(
+            "import", k=3, with_meta=False,
+            doc_predicate=F.col("repo") == f"org0/repo{i % 16}",
+        ).collect()
+    assert len(engine._pred_norms) <= cap
+    # repeated use of one predicate is a cache hit, not a rebuild
+    before = dict(engine._pred_norms)
+    engine.search(
+        "import", k=3, with_meta=False,
+        doc_predicate=F.col("repo") == f"org0/repo{(cap + 4) % 16}",
+    ).collect()
+    key = str(F.col("repo") == f"org0/repo{(cap + 4) % 16}")
+    assert engine._pred_norms[key] is before[key]
