@@ -47,6 +47,16 @@ def _meta(store: IndexStore, gen: str) -> dict:
     return json.loads((Path(store.root) / gen / "_meta.json").read_text())
 
 
+def _free_ids(spark: SparkSession, store: IndexStore, gen: str) -> DataFrame | None:
+    """Retired doc_ids available for reuse (free-list analogue,
+    DefaultStructureIndexProvider.java:36-89).  Absent table == empty list
+    (full builds never write one)."""
+    p = Path(store.root) / gen / "free_ids"
+    if not p.exists():
+        return None
+    return spark.read.parquet(str(p))
+
+
 def _carry_refs(store: IndexStore, old_gen: str, exclude_shards: list[int]) -> list:
     """New gen references the old gen's own files and transitively its refs,
     each with the new exclusions appended."""
@@ -96,9 +106,37 @@ def add_documents(
     # E1 delta-plus: requested − known (left-anti on the natural key)
     unknown = new_docs.join(doc_map.select(*DOC_KEY), on=DOC_KEY, how="left_anti")
     max_id = doc_map.agg(F.max("doc_id")).first()[0]
-    ids = assign_sorted_rank(
-        unknown.select(*DOC_KEY), DOC_KEY, "doc_id", start=max_id + 1
-    ).withColumn("shard", (F.col("doc_id") / dps).cast("int"))
+    # doc-id minting with FREE-LIST REUSE (the reference's reclaim protocol,
+    # DefaultStructureIndexProvider.java:36-89,114-122): ids retired by
+    # REMOVE are consumed smallest-first before minting past the current
+    # max, so sustained churn cannot grow the id space (and with it the
+    # shard count) without bound.  Deterministic: both the new docs and the
+    # free list are ranked by exact global sort order.
+    free = _free_ids(spark, store, old_gen)
+    ranked = assign_sorted_rank(unknown.select(*DOC_KEY), DOC_KEY, "rank")
+    n_free = free.count() if free is not None else 0
+    if n_free:
+        free_ranked = assign_sorted_rank(
+            free.select(F.col("doc_id").alias("reuse_id")), ["reuse_id"], "rank"
+        )
+        ids = (
+            ranked.join(free_ranked, on="rank", how="left")
+            .select(
+                *DOC_KEY,
+                F.coalesce(
+                    "reuse_id",
+                    F.lit(max_id + 1 - n_free) + F.col("rank"),
+                ).alias("doc_id"),
+                "rank",
+            )
+        )
+    else:
+        ids = ranked.select(
+            *DOC_KEY, (F.col("rank") + (max_id + 1)).alias("doc_id"), "rank"
+        )
+    ids = ids.drop("rank").withColumn(
+        "shard", (F.col("doc_id") / dps).cast("int")
+    )
     store.write_table(ids, "ids", gen)
     spark.catalog.clearCache()
     ids = store.read_table(spark, "ids", gen)
@@ -107,6 +145,8 @@ def add_documents(
     if not affected:  # nothing new — republish old tables untouched
         for t in ("doc_map", "terms", "stats", "norms"):
             store.write_table(store.read_table(spark, t, old_gen), t, gen)
+        if free is not None:
+            store.write_table(free, "free_ids", gen)
         (Path(store.root) / gen / "_refs.json").write_text(
             json.dumps(_carry_refs(store, old_gen, []))
         )
@@ -114,6 +154,13 @@ def add_documents(
         store.publish(gen)
         store.log(gen=gen, stage="add", status="done", n_added=0)
         return gen
+    # free list shrinks by the consumed ids (reads from the OLD gen's table,
+    # so the overwrite into the new gen is safe)
+    if n_free:
+        remaining_free = free.join(
+            ids.select("doc_id"), on="doc_id", how="left_anti"
+        )
+        store.write_table(remaining_free, "free_ids", gen)
 
     # tokenize only the new docs (positions ride along on a positional index
     # so the repacked shards keep phrase capability)
@@ -223,6 +270,10 @@ def remove_documents(
         doc_map.join(victim_ids, on="doc_id", how="left_anti"), "doc_map", gen
     )
     doc_map_new = store.read_table(spark, "doc_map", gen)
+    # retire the victims' ids into the free list for ADD to reuse
+    free = _free_ids(spark, store, old_gen)
+    retired = victim_ids if free is None else free.unionByName(victim_ids)
+    store.write_table(retired.distinct(), "free_ids", gen)
 
     old_affected = decode_postings(
         store.read_postings(spark, old_gen).where(F.col("shard").isin(affected)),
@@ -308,6 +359,9 @@ def compact(spark: SparkSession, store: IndexStore) -> str:
     # into the new generation (norms re-bucketed alongside postings)
     for t in ("doc_map", "terms", "stats"):
         store.write_table(store.read_table(spark, t, old_gen), t, gen)
+    carried_free = _free_ids(spark, store, old_gen)
+    if carried_free is not None:
+        store.write_table(carried_free, "free_ids", gen)
     store.write_bucketed(
         store.read_bucketed(spark, "norms", old_gen), "norms", gen,
         n_buckets=nb, sort_cols=("shard",),

@@ -249,6 +249,53 @@ def test_fused_resume_mid_merge(spark, corpus, tmp_path_factory):
     assert dm_a.equals(dm_b)
 
 
+def test_docid_free_list_reuse(spark, corpus, tmp_path_factory):
+    """REMOVE retires doc_ids into a free list; ADD consumes them smallest-
+    first before minting past max — sustained churn must not grow the id
+    space (DefaultStructureIndexProvider.java:36-89 analogue)."""
+    full, base, extra = corpus
+    store = IndexStore(tmp_path_factory.mktemp("freelist"))
+    build_index(
+        spark, full, store, docs_per_shard=64, shards_per_chunk=1 << 20,
+        checkpoint_partials=False,
+    )
+    eng = SearchEngine(spark, store)
+    max_before = eng.doc_map.agg(F.max("doc_id")).first()[0]
+    n_shards_before = eng.doc_map.agg(F.max("shard")).first()[0]
+
+    remove_documents(spark, store, extra.select("repo", "path", "commit"))
+    free = spark.read.parquet(str(store.root / store.current_gen() / "free_ids"))
+    assert free.count() == N_ADD
+
+    add_documents(spark, store, extra)
+    eng2 = SearchEngine(spark, store)
+    # ids were REUSED: the id space did not grow
+    assert eng2.doc_map.agg(F.max("doc_id")).first()[0] == max_before
+    assert eng2.doc_map.agg(F.max("shard")).first()[0] == n_shards_before
+    assert eng2.doc_map.count() == N0 + N_ADD
+    free2 = spark.read.parquet(str(store.root / store.current_gen() / "free_ids"))
+    assert free2.count() == 0
+    assert verify_consistency(spark, store) == {
+        "orphan_doc_ids": 0, "inconsistent_terms": 0,
+    }
+    # query parity vs oracle over the full corpus through the churned index
+    dm = eng2.doc_map.select("doc_id", "repo", "path", "commit").toPandas()
+    src = full.select("repo", "path", "commit", "content").toPandas()
+    merged = dm.merge(src, on=["repo", "path", "commit"])
+    assert len(merged) == N0 + N_ADD
+    oracle = build_oracle(merged["doc_id"].tolist(), merged["content"].tolist())
+    for q, mode in [("import def", "or"), ("v_00001 v_00002", "and")]:
+        exp = bm25_topk(oracle, q, k=10, mode=mode)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in eng2.search(q, k=10, mode=mode, with_meta=False).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp]
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in exp], rtol=0, atol=1e-12
+        )
+
+
 def test_remove_on_fused_base_reads_back(spark, corpus, tmp_path_factory):
     """REMOVE against the fused/bucketed production layout (the layout
     __spark_entry__ and bench publish) must produce a readable generation —
