@@ -146,10 +146,15 @@ def scale_pair(
             for cores in order:
                 n_exec = cores // exec_cores
                 # identical shuffle partitioning + shard geometry at both
-                # levels — partition count changes the work itself
+                # levels — partition count changes the work itself.
+                # Tunable: more partitions = finer wave granularity on the
+                # hi leg (less tail quantization), more small files on both.
                 spark = get_cluster_spark(
                     f"bench-scale-{cores}", cl, total_cores=cores,
-                    executor_cores=exec_cores, shuffle_partitions=32,
+                    executor_cores=exec_cores,
+                    shuffle_partitions=int(
+                        os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "32")
+                    ),
                     extra_conf={
                         "spark.hadoop.mapreduce.fileoutputcommitter"
                         ".algorithm.version": "2",
@@ -607,9 +612,12 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     queries["build_index"] = round(build_sec, 3)
+    # warm the query path once (codegen + python worker pools + norms cache)
+    # so q01 doesn't carry one-time costs the other rows don't
+    engine.search("warmup_token value", k=5, with_meta=False).collect()
     for name, (q, mode, k) in QUERY_SUITE.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             engine.search(q, k=k, mode=mode, with_meta=False).collect()
             best = min(best, time.time() - t0)

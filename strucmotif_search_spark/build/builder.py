@@ -392,6 +392,18 @@ def _build_fused(
 
     from concurrent.futures import ThreadPoolExecutor
 
+    pool = ThreadPoolExecutor(max_workers=4)
+    # the shared doclens aggregate: ONE scan of the spill, narrow rows after
+    # map-side combine, pinned for the three side consumers above.  It has
+    # no dependency on terms, so its job runs CONCURRENTLY with the terms
+    # build (terms is the critical path — pack waits on it; doclens
+    # backfills idle cores), shaving the serial chain that dominates the
+    # multi-executor leg's non-scaling fraction.
+    doclens = (
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("doclen")).persist()
+    )
+    doclens_fut = pool.submit(doclens.count)
+
     tb = time.time()
     if not store.stage_done(gen, "terms"):
         # tf > 0 drops the sha-carrier sentinel rows of token-less docs;
@@ -402,15 +414,7 @@ def _build_fused(
         store.log(gen=gen, stage="terms", status="done",
                   stage_wall_ms=int((time.time() - tb) * 1000))
     terms = store.read_table(spark, "terms", gen)
-
-    # the shared doclens aggregate: ONE scan of the spill, 240k-ish narrow
-    # rows after map-side combine, pinned for the three consumers above
-    doclens = (
-        tf.groupBy("doc_id").agg(F.sum("tf").alias("doclen")).persist()
-    )
-    doclens.count()
-
-    pool = ThreadPoolExecutor(max_workers=3)
+    doclens_fut.result()
     side_futs = [
         pool.submit(fn)
         for stage, fn in (

@@ -186,6 +186,14 @@ def get_cluster_spark(
         # don't start the timed job until every executor registered
         .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
         .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "300s")
+        # delay scheduling only hurts here: every executor is on the same
+        # host, so a reduce task gains nothing by waiting (default 3s/level)
+        # for the executor holding its map output — but that wait idles
+        # cores ONLY on the multi-executor leg (a 1-executor app is always
+        # PROCESS_LOCAL), silently taxing exactly the scaling quotient the
+        # north rule measures.  On a real multi-host cluster this would be
+        # tuned per topology; same-host standalone wants 0.
+        .config("spark.locality.wait", "0s")
         # fewer bytes written = fewer (collapse-prone) page faults: zstd for
         # shuffle/spill streams, not just parquet
         .config("spark.io.compression.codec", "zstd")
