@@ -73,6 +73,57 @@ def _fault_probe(procs: int = 8, mb: int = 128) -> float:
     return procs * mb / (time.time() - t0)
 
 
+def _warm_guest_memory(
+    max_gb: float | None = None,
+    procs: int = 8,
+    floor: float = 2500.0,
+) -> float:
+    """ACTIVELY repair a collapsed fault window instead of waiting it out.
+
+    Measured root cause (this guest, 2026-08-18): the collapse is first-touch
+    of host-UNBACKED guest frames — single-threaded touch stays ~1.7 GB/s
+    while 8-way aggregate drops to ~0.4 GB/s, steal ~0, CPU idle.  Once a
+    frame has been faulted ONCE, the guest kernel recycles it through its
+    free list still host-backed, and re-allocation is memset-speed: warming
+    16 GB (touch + free) lifted the 8-way probe 508 -> 5637 MB/s in one shot.
+    So instead of sleeping until the hypervisor mood passes (round-2 protocol,
+    unbounded), fault in free memory in 8 GB rounds until the probe clears
+    the same floor the validity gates use.  The warmed frames are freed
+    immediately — only their host-backing persists — so this costs nothing
+    at steady state and makes clean windows *manufacturable* rather than
+    awaited."""
+    import multiprocessing as mp
+
+    if max_gb is None:
+        max_gb = float(os.environ.get("SPARK_GRAFT_WARM_GB", "48"))
+    with open("/proc/meminfo") as f:
+        avail_gb = 0.0
+        for line in f:
+            if line.startswith("MemAvailable"):
+                avail_gb = int(line.split()[1]) / (1 << 20)
+                break
+    max_gb = min(max_gb, max(avail_gb - 24.0, 0.0))
+    p = _fault_probe()
+    warmed = 0.0
+    while p < floor and warmed < max_gb:
+        chunk_mb = 1024
+        t0 = time.time()
+        ps = [
+            mp.Process(target=_touch_pages, args=(chunk_mb,))
+            for _ in range(procs)
+        ]
+        for w in ps:
+            w.start()
+        for w in ps:
+            w.join()
+        warmed += procs * chunk_mb / 1024.0
+        rate = procs * chunk_mb / max(time.time() - t0, 1e-9)
+        p = _fault_probe()
+        log(f"[bench] warmed {warmed:.0f} GB at {rate:.0f} MB/s "
+            f"-> probe {p:.0f} MB/s")
+    return p
+
+
 def _cpu_burn(n: int) -> None:
     import hashlib
 
@@ -137,6 +188,13 @@ def scale_pair(
 
     scratch = "/dev/shm/sparkgraft" if os.path.isdir("/dev/shm") else "/tmp"
     os.makedirs(scratch, exist_ok=True)
+    # manufacture a clean window up front: every leg's JVM heaps, python
+    # workers, tmpfs spills and page cache fault fresh guest frames, and in
+    # a collapsed (host-unbacked) phase those faults are 3-10x slow with no
+    # steal signature.  One warm pass host-backs the frames for the whole
+    # pair (freed JVM memory recycles through the guest free list still
+    # backed), turning the per-leg probe gate from a lottery into a check.
+    _warm_guest_memory()
     exec_cores = int(os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"))
     cleanup: list[str] = []
     reps: dict[str, list[dict]] = {str(lo): [], str(hi): []}
@@ -309,7 +367,10 @@ def run_scaling() -> dict:
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8").split(",")
     )
-    n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "240000"))
+    # 480k docs: sized so the 4N leg's wall stays ~5x the build's fixed
+    # per-job driver overhead — at 240k the fixed ~8s was 1/3 of the hi
+    # leg and capped even a perfectly clean window at ~0.73 efficiency
+    n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "480000"))
     exec_cores = int(os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"))
     # keep sampling until a clean-window pair meets the target (early stop
     # below) — a bad hour must not leave an invalid pair as the artifact
@@ -508,18 +569,21 @@ def run_scaling() -> dict:
 # ---------------------------------------------------------------------------
 
 def _wait_clean_window(min_probe: float = 2500.0, max_wait: float = 300.0) -> float:
-    """Block until the concurrent-fault probe clears the floor (the same
-    gate the scaling pairs use) so suite numbers aren't taken in a collapsed
-    window; returns the last probe reading.  Bounded wait — a permanently
+    """Get the concurrent-fault probe above the floor (the same gate the
+    scaling pairs use) so suite numbers aren't taken in a collapsed window;
+    returns the last probe reading.  First try is ACTIVE: fault in free
+    guest memory until the collapse clears (see _warm_guest_memory — the
+    collapse is host-unbacked frames, and one touch repairs a frame for the
+    rest of the run).  Passive bounded wait only as fallback; a permanently
     dirty window still produces numbers, flagged via the recorded probe."""
+    p = _warm_guest_memory(floor=min_probe)
     t0 = time.time()
-    while True:
-        p = _fault_probe()
-        if p >= min_probe or (time.time() - t0) > max_wait:
-            return p
-        log(f"[bench] dirty window (probe {p:.0f} MB/s < {min_probe:.0f}); "
-            "waiting 15s")
+    while p < min_probe and (time.time() - t0) <= max_wait:
+        log(f"[bench] dirty window persists after warm (probe {p:.0f} MB/s "
+            f"< {min_probe:.0f}); waiting 15s")
         time.sleep(15)
+        p = _warm_guest_memory(max_gb=8.0, floor=min_probe)
+    return p
 
 
 QUERY_SUITE: dict[str, tuple[str, str, int]] = {

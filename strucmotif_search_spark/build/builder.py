@@ -247,10 +247,11 @@ def _build_fused(
 
     # lang rides along (a few bytes/row) so doc_map never needs the source
     # table again; the rank shuffle still never touches content
-    ids = assign_sorted_rank(
+    ids, n_ids = assign_sorted_rank(
         docs.select("repo", "path", "commit", "lang"),
-        ["repo", "path", "commit"], "doc_id"
-    ).withColumn(
+        ["repo", "path", "commit"], "doc_id", return_count=True,
+    )
+    ids = ids.withColumn(
         "shard", (F.col("doc_id") / docs_per_shard).cast("int")
     )
     # Pin the (small, fixed-width) ids dictionary in block storage and make
@@ -259,9 +260,11 @@ def _build_fused(
     # path, no I/O), and the content join below must NOT shuffle document
     # text against an unsized in-flight plan.  At 10^12 docs the dictionary
     # exceeds broadcast size and the join falls back to shuffle; persist
-    # spills to disk (MEMORY_AND_DISK default) and stays one pass.
+    # spills to disk (MEMORY_AND_DISK default) and stays one pass.  No
+    # eager count: n_ids came free with the rank's partition-count pass,
+    # and the cache materializes inside the first job that scans it (the
+    # tf spill's broadcast/join build) instead of paying its own job.
     ids = ids.persist()
-    n_ids = ids.count()
     # ~64 B/row (two short strings + md5 hex + 2 longs); broadcast under the
     # session's autoBroadcastJoinThreshold default (32 MB)
     ids_small = n_ids * 64 < 32 * 1024 * 1024

@@ -31,11 +31,16 @@ def assign_sorted_rank(
     id_col: str,
     num_partitions: int | None = None,
     start: int = 0,
+    return_count: bool = False,
 ) -> DataFrame:
     """Add ``id_col`` = ``start`` + global lexicographic rank of ``key_cols``.
 
     Keys must be unique (enforced upstream; the doc key (repo,path,commit) and
     the term string both are).
+
+    ``return_count=True`` returns ``(df, n_rows)`` — the total is a free
+    byproduct of the per-partition counts pass, so callers that need the
+    cardinality (broadcast decisions, stats) skip a whole extra count job.
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -76,4 +81,7 @@ def assign_sorted_rank(
             cursor += n
             yield out
 
-    return with_pid.mapInPandas(add_ids, schema=out_schema)
+    out = with_pid.mapInPandas(add_ids, schema=out_schema)
+    if return_count:
+        return out, acc - start
+    return out

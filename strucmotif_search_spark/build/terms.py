@@ -27,9 +27,16 @@ def build_terms(tf: DataFrame) -> DataFrame:
     ordering (rarest-first, ResiduePairOccurrence.java:53-57) reads this
     table.
     """
+    # persist the vocab agg before ranking: assign_sorted_rank's
+    # repartitionByRange SAMPLES its child in a separate pass, which would
+    # re-run this full groupBy over the tf spill — with the cache, the
+    # sample pass materializes the agg once and the rank shuffle reads it
+    # back (MEMORY_AND_DISK — spills, stays one pass at any vocab size).
+    # Callers publish the result to parquet immediately, after which the
+    # build's end-of-run clearCache() drops it.
     agg = tf.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
-    )
+    ).persist()
     return assign_sorted_rank(agg, ["term"], "term_id").select(
         "term", "term_id", "df", "cf"
     )
