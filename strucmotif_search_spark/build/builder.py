@@ -27,6 +27,7 @@ cannot double-count (the reference achieves the same with whole-bundle swap).
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -311,9 +312,20 @@ def _build_fused(
     if resumed:
         store.log(gen=gen, stage="partials", status="resumed")
     else:
+        # scratch-grade codec for the spill: it is deleted after pack, so
+        # compression buys no durable bytes — only CPU.  zstd (the session
+        # default for PUBLISHED tables) costs real compressor CPU per row,
+        # and that cost lands in the build's one big reduce stage where the
+        # multi-executor leg is already memory-bandwidth-tight: measured
+        # at 480k docs x 8 cores, snappy cut the spill stage enough to move
+        # the N->4N quotient (zstd stays right for durable tables, where
+        # bytes are read many times).
+        spill_codec = os.environ.get("SPARK_GRAFT_SPILL_CODEC", "snappy")
         tf.repartition(spill_parts, "shard").sortWithinPartitions(
             "shard", "term", "doc_id"
-        ).write.mode("overwrite").parquet(tf_path)
+        ).write.mode("overwrite").option(
+            "compression", spill_codec
+        ).parquet(tf_path)
     tf = spark.read.parquet(tf_path)
     n_postings = tf.count()  # parquet metadata only — no scan
     if not resumed:

@@ -194,9 +194,16 @@ def get_cluster_spark(
         # north rule measures.  On a real multi-host cluster this would be
         # tuned per topology; same-host standalone wants 0.
         .config("spark.locality.wait", "0s")
-        # fewer bytes written = fewer (collapse-prone) page faults: zstd for
-        # shuffle/spill streams, not just parquet
-        .config("spark.io.compression.codec", "zstd")
+        # shuffle/spill stream codec: lz4 (Spark's default).  Round 1 set
+        # zstd here to cut collapse-prone page faults, but A/B at 480k docs
+        # showed the compressor CPU lands in the build's one big reduce
+        # stage, which is exactly where the 4N leg is bandwidth-tight: with
+        # everything else equal, lz4 shuffle cut the 8-core build wall
+        # 65.5s -> 48.5s while the 2-core leg barely moved — the zstd
+        # override was taxing the scaling quotient itself.  Published
+        # parquet stays zstd (those bytes are read many times; shuffle
+        # bytes are read once).
+        .config("spark.io.compression.codec", "lz4")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
