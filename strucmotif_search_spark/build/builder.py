@@ -86,8 +86,17 @@ def build_index(
         # 128MB would be cut at row-group boundaries, breaking the
         # one-bucket-file-per-pack-task write and block_id uniqueness on the
         # presorted fast path.  Both pinned for the build window only.
+        # EQUAL pins matter: Spark's split target is
+        # min(maxPartitionBytes, max(openCostInBytes, totalBytes/cores)), and
+        # a partition packs files until size+openCost exceeds it.  With
+        # openCost below maxPartitionBytes the core-count term sneaks back in
+        # (measured: the 32-file spill read planned 8 tasks at 8 cores and 2
+        # tasks at 2 cores — a skewed, core-dependent pack stage, wall = the
+        # fattest file group).  openCost == maxPartitionBytes == 64 GiB
+        # closes every partition after exactly one file and still never
+        # splits one (no spill file approaches 64 GiB).
         build_conf = {
-            "spark.sql.files.openCostInBytes": str(1 << 30),
+            "spark.sql.files.openCostInBytes": str(1 << 36),
             "spark.sql.files.maxPartitionBytes": str(1 << 36),  # 64 GiB
         }
         old_conf: dict[str, str | None] = {}
@@ -248,10 +257,17 @@ def _build_fused(
 
     # lang rides along (a few bytes/row) so doc_map never needs the source
     # table again; the rank shuffle still never touches content
+    t_rank = time.time()
     ids, n_ids = assign_sorted_rank(
         docs.select("repo", "path", "commit", "lang"),
         ["repo", "path", "commit"], "doc_id", return_count=True,
     )
+    # sub-stage lineage: the rank's eager jobs (range sampling + per-
+    # partition counts) are part of the build's serial prefix — record them
+    # separately from the big tokenize+spill job so scaling runs can see
+    # which half of "partials" fails to scale
+    store.log(gen=gen, stage="rank", status="done",
+              stage_wall_ms=int((time.time() - t_rank) * 1000))
     ids = ids.withColumn(
         "shard", (F.col("doc_id") / docs_per_shard).cast("int")
     )
