@@ -34,11 +34,11 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tokenizer import term_frequencies
+from ..tokenizer import decode_doc_meta, packed_term_runs, term_frequencies
 from .doc_map import build_doc_map
 from .index_store import IndexStore
-from .norms import build_norms
-from .postings import pack_postings
+from .norms import build_norms, build_norms_from_doc_runs
+from .postings import pack_posting_runs, pack_postings
 from .terms import build_stats, build_terms
 
 
@@ -99,6 +99,12 @@ def build_index(
             "spark.sql.files.openCostInBytes": str(1 << 36),
             "spark.sql.files.maxPartitionBytes": str(1 << 36),  # 64 GiB
         }
+        # NOTE on Arrow batch size: bigger batches would lengthen map-side
+        # SPIMI runs, but measured on this guest they HURT the
+        # many-executor leg — 8 workers concurrently faulting fresh
+        # ~100 MB token buffers hit the same concurrent-fault collapse the
+        # bench gates against, while 2 workers sail.  The default 10k-row
+        # batch is the right trade at both parallelism levels.
         old_conf: dict[str, str | None] = {}
         for key, val in build_conf.items():
             try:
@@ -288,32 +294,33 @@ def _build_fused(
     ids_j = F.broadcast(ids) if ids_small else ids
 
     docs_keyed = docs.join(ids_j, on=["repo", "path", "commit"])
-    # with_sha: content digests are computed inside this SAME scan (sha2 is
-    # whole-stage-codegen'd before the Arrow transfer), making tokenize the
-    # build's ONLY pass over document content — doc_map below joins narrow
-    # tables instead of re-reading the corpus
-    tf = term_frequencies(
-        docs_keyed, content_col=content_col, with_positions=with_positions,
-        with_sha=True,
-    ).join(
-        F.broadcast(ids.select("doc_id", "shard")) if ids_small
-        else ids.select("doc_id", "shard"),
-        on="doc_id",
+    # Map-side SPIMI runs: tokenize + per-(shard, term) varint run packing
+    # happen INSIDE the content scan (one pass; sha256 fused JVM-side), so
+    # postings never exist as individual rows anywhere in the build — the
+    # one big exchange below moves packed runs (~10x fewer rows, ~5x fewer
+    # bytes than posting rows), which is the scarce resource on a
+    # multi-executor cluster.  Doc metadata (doclen, sha) rides the same
+    # output as packed per-shard rows (term ''), so doc_map/norms/stats
+    # need no posting-row aggregate either.  The shard is computed in the
+    # kernel from doc_id — no 10^8-row dictionary join.
+    tf = packed_term_runs(
+        docs_keyed, docs_per_shard=docs_per_shard, content_col=content_col,
+        with_positions=with_positions, with_sha=True,
     )
-    # Spill the SPIMI stage-1 runs as parquet, SHUFFLED BY SHARD AND SORTED
-    # (shard, term, doc_id) — this is the build's one big shuffle, fused into
-    # the tokenize stage.  Downstream consequences:
-    # - the pack stage becomes map-only AND sort-free: parquet read-back of
+    # Spill the SPIMI runs as parquet, SHUFFLED BY SHARD AND SORTED
+    # (shard, term, first_doc) — the build's one big shuffle.  Downstream:
+    # - the pack stage is map-only AND sort-free: parquet read-back of
     #   whole files preserves row order, term rank is monotonic in the term
     #   string so the sort survives the term_id join, and the packer only
-    #   needs run contiguity (files hold disjoint shard sets).  The row-path
-    #   alternative (shuffle rows -> Tungsten sort -> row->Arrow) measured
-    #   ~10x the packer's own CPU in JVM overhead;
+    #   needs group contiguity (files hold disjoint shard sets).  The sort
+    #   itself is over RUN rows (small), not postings; the per-group
+    #   doc-order merge of interleaved runs happens in numpy inside the
+    #   packer (sort-merge posting-list merge);
     # - a parquet round-trip beats a DISK_ONLY .persist() (columnar-cache
     #   serializer, re-read per job) and the count below is footer-only.
     # Partition count is pinned (see pack note below); at larger scale keep
     # spill files under spark.sql.files.maxPartitionBytes so read-back never
-    # splits a file (a split could cut a (shard, term) run mid-way).
+    # splits a file (a split could cut a (shard, term) group mid-way).
     spill_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     tf_path = store.partials_path(gen, 0)
     # RESUME (T3 on the fused path): a crashed build left its lineage WAL
@@ -338,42 +345,40 @@ def _build_fused(
         # bytes are read many times).
         spill_codec = os.environ.get("SPARK_GRAFT_SPILL_CODEC", "snappy")
         tf.repartition(spill_parts, "shard").sortWithinPartitions(
-            "shard", "term", "doc_id"
+            "shard", "term", "first_doc"
         ).write.mode("overwrite").option(
             "compression", spill_codec
         ).parquet(tf_path)
     tf = spark.read.parquet(tf_path)
-    n_postings = tf.count()  # parquet metadata only — no scan
+    n_runs = tf.count()  # parquet metadata only — no scan
     if not resumed:
         store.log(gen=gen, stage="partials", status="done",
-                  n_postings=n_postings, checkpointed=False, scratch=True)
+                  n_runs=n_runs, checkpointed=False, scratch=True)
 
-    # Post-spill, the remaining stages form a shallow DAG over the tf spill
-    # + ids dictionary + one shared doclens aggregate:
-    #   terms  (vocab agg; pack depends on it — runs first, alone)
-    #   doclens (one scan-agg of the spill, persisted, shared 3 ways)
+    # Post-spill, the remaining stages form a shallow DAG over the run spill
+    # + ids dictionary + one shared decoded doc-metadata table:
+    #   terms  (run-row agg; pack depends on it — runs first, alone)
+    #   doc_meta (decode of the spill's packed doc rows — one narrow
+    #             mapInPandas over ~1 row per (shard, batch), persisted,
+    #             shared 3 ways; replaces the old posting-row doclen agg)
     #   then CONCURRENTLY (driver threads; FIFO scheduler backfills cores):
     #     pack    (the python packer — main thread)
-    #     doc_map (sha256 pass ⋈ ids ⋈ doclens)
-    #     norms   (ids ⋈ doclens -> per-shard packed sidecar)
-    #     stats   (n_docs from the ids count + one tiny doclens agg)
-    # Build wall becomes spill + terms + doclens + max(pack, doc_map, norms,
-    # stats) instead of the serial sum.  This matters twice at scale: the
-    # small jobs fill cores the packer's stage tails leave idle (utilization
+    #     doc_map (ids ⋈ doc_meta)
+    #     norms   (ids ⋈ doc_meta -> per-shard packed sidecar)
+    #     stats   (n_docs from the ids count + one tiny doc_meta agg)
+    # Build wall becomes spill + terms + max(pack, doc_map, norms, stats)
+    # instead of the serial sum.  This matters twice at scale: the small
+    # jobs fill cores the packer's stage tails leave idle (utilization
     # grows with executor count — the quantity the scaling criterion
     # measures), and per-job scheduling gaps overlap.  norms/stats read the
-    # shared doclens instead of the finished doc_map table precisely to
+    # shared doc_meta instead of the finished doc_map table precisely to
     # break the serial chain the previous layout had.
     def _mk_doc_map() -> None:
-        # narrow-only: digests come from the spill (one non-null row per
-        # doc), lang from the ids dictionary — NO second corpus scan
+        # narrow-only: digests + doclens decode from the spill's packed doc
+        # rows, lang from the ids dictionary — NO second corpus scan
         ta = time.time()
-        shas = tf.select("doc_id", "content_sha256").where(
-            F.col("content_sha256").isNotNull()
-        )
         doc_map_df = (
-            ids.join(shas, on="doc_id", how="left")
-            .join(doclens, on="doc_id", how="left")
+            ids.join(doc_meta, on="doc_id", how="left")
             .select(
                 "doc_id", "repo", "path", "commit", "lang", "content_sha256",
                 F.coalesce(F.col("doclen"), F.lit(0)).cast("long")
@@ -387,19 +392,15 @@ def _build_fused(
 
     def _mk_norms() -> None:
         ta = time.time()
-        norms_in = (
-            ids.select("doc_id", "shard")
-            .join(doclens, on="doc_id", how="left")
-            .select(
-                "shard", "doc_id",
-                F.coalesce(F.col("doclen"), F.lit(0)).cast("long")
-                .alias("doclen"),
-            )
-        )
-        # norms bucketed with the SAME bucket count as postings: the query
+        # norms merge straight from the spill's PACKED doc rows — the
+        # shuffle moves a few varint rows per shard, never a row per doc
+        # (at 10^12 docs the old ids ⋈ doclens exchange was itself a
+        # corpus-sized shuffle per build).
+        # Bucketed with the SAME bucket count as postings: the query
         # cogroup then sees both sides hash(shard)-clustered from the scan
         store.write_bucketed(
-            build_norms(norms_in), "norms", gen, n_buckets=spill_parts,
+            build_norms_from_doc_runs(tf.where(F.col("term") == "")),
+            "norms", gen, n_buckets=spill_parts,
             sort_cols=("shard",),
         )
         store.log(gen=gen, stage="norms", status="done",
@@ -409,7 +410,7 @@ def _build_fused(
         # identical row to build_stats(doc_map): docs with zero tokens count
         # in n_docs and contribute doclen 0 (F7 imputation)
         ta = time.time()
-        stats_df = doclens.agg(
+        stats_df = doc_meta.agg(
             F.coalesce(F.sum("doclen"), F.lit(0)).alias("s")
         ).select(
             F.lit(n_ids).cast("long").alias("n_docs"),
@@ -424,28 +425,62 @@ def _build_fused(
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=4)
-    # the shared doclens aggregate: ONE scan of the spill, narrow rows after
-    # map-side combine, pinned for the three side consumers above.  It has
-    # no dependency on terms, so its job runs CONCURRENTLY with the terms
-    # build (terms is the critical path — pack waits on it; doclens
-    # backfills idle cores), shaving the serial chain that dominates the
-    # multi-executor leg's non-scaling fraction.
-    doclens = (
-        tf.groupBy("doc_id").agg(F.sum("tf").alias("doclen")).persist()
-    )
-    doclens_fut = pool.submit(doclens.count)
+    # the shared doc-metadata decode: ONE narrow mapInPandas over the
+    # spill's packed doc rows (term ''), pinned for the three side
+    # consumers above.  It has no dependency on terms, so its job runs
+    # CONCURRENTLY with the terms build (terms is the critical path — pack
+    # waits on it; doc_meta backfills idle cores), shaving the serial chain
+    # that dominates the multi-executor leg's non-scaling fraction.
+    doc_meta = decode_doc_meta(
+        tf.where(F.col("term") == ""), with_sha=True
+    ).persist()
+    doc_meta_fut = pool.submit(doc_meta.count)
 
     tb = time.time()
     if not store.stage_done(gen, "terms"):
-        # tf > 0 drops the sha-carrier sentinel rows of token-less docs;
-        # the vocabulary is exactly the real tokens
-        store.write_table(
-            build_terms(tf.where(F.col("tf") > 0)), "terms", gen
+        # term != '' drops the doc-metadata rows; the vocabulary is exactly
+        # the real tokens.  df/cf come from per-run partial sums — the agg
+        # is over RUN rows, ~10x smaller than a posting-row groupBy, with
+        # identical results (every doc hits a term in exactly one run).
+        # Persist before ranking for the same reason build_terms does: the
+        # rank's repartitionByRange samples in a separate pass.
+        vocab = (
+            tf.where(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf"))
+            .persist()
         )
-        store.log(gen=gen, stage="terms", status="done",
+        n_vocab = vocab.count()
+        # term_id = exact sorted rank of the term string, two ways with
+        # identical results: below the threshold the driver sorts the
+        # (tiny) dictionary itself — one collect + one write instead of the
+        # distributed rank's sample/count/rank/write job chain, which is
+        # pure serial overhead on the build's critical path (pack waits on
+        # the dictionary).  A giant vocabulary takes the scalable rank.
+        # Driver sort key = UTF-8 bytes, matching Spark's UTF8String
+        # binary ordering (tokens are ASCII by the frozen contract, but
+        # the byte sort is correct for any UTF-8 string).
+        if n_vocab <= 2_000_000:
+            pdf = vocab.toPandas()
+            pdf = pdf.iloc[
+                pdf["term"].str.encode("utf-8").to_numpy().argsort(kind="stable")
+            ].reset_index(drop=True)
+            pdf["term_id"] = pdf.index.to_numpy().astype("int64")
+            store.write_table(
+                spark.createDataFrame(pdf[["term", "term_id", "df", "cf"]]),
+                "terms", gen,
+            )
+        else:
+            store.write_table(
+                assign_sorted_rank(vocab, ["term"], "term_id").select(
+                    "term", "term_id", "df", "cf"
+                ),
+                "terms", gen,
+            )
+        store.log(gen=gen, stage="terms", status="done", n_terms=n_vocab,
                   stage_wall_ms=int((time.time() - tb) * 1000))
     terms = store.read_table(spark, "terms", gen)
-    doclens_fut.result()
+    doc_meta_fut.result()
     side_futs = [
         pool.submit(fn)
         for stage, fn in (
@@ -467,27 +502,31 @@ def _build_fused(
     small_vocab = terms_bytes < 256 * 1024 * 1024
     if small_vocab:
         dict_df = F.broadcast(dict_df)
-    tf_cols = ["shard", "term_id", "doc_id", "tf"] + (
-        ["positions"] if with_positions else []
+    run_cols = ["shard", "term_id", "first_doc", "n_docs", "doc_deltas",
+                "tfs"] + (["pos_data"] if with_positions else [])
+    with_ids = (
+        tf.where(F.col("term") != "").join(dict_df, on="term")
+        .select(*run_cols)
     )
-    with_ids = tf.join(dict_df, on="term").select(*tf_cols)
     # Fast path (broadcastable vocab): the spill is already shuffled by shard
-    # and sorted (shard, term, doc_id); the broadcast join streams rows in
-    # order and term_id is the term's sorted rank, so the packer input is
-    # presorted — pack is a map-only, sort-free stage.  Fallback (giant
-    # vocab, shuffled dict join): order is destroyed, so pack re-shuffles +
-    # re-sorts; partition count pinned explicitly because AQE's byte-based
-    # coalescing would squeeze this small-but-CPU-heavy (python varint)
-    # stage into a handful of tasks and serialize the packer.
+    # and sorted (shard, term, first_doc); the broadcast join streams rows
+    # in order and term_id is the term's sorted rank, so every
+    # (shard, term_id) group reaches the packer contiguous — pack is a
+    # map-only stage whose only sort is the numpy doc-order merge of each
+    # group's runs.  Fallback (giant vocab, shuffled dict join): order is
+    # destroyed, so pack re-shuffles + re-sorts RUN rows (still ~10x fewer
+    # rows than postings); partition count pinned explicitly because AQE's
+    # byte-based coalescing would squeeze this small-but-CPU-heavy stage
+    # into a handful of tasks and serialize the packer.
     if small_vocab:
-        blocks = pack_postings(
-            with_ids, already_partitioned=True, presorted=True,
-            with_positions=with_positions,
+        blocks = pack_posting_runs(
+            with_ids, with_positions=with_positions, presorted=True,
         )
     else:
         pack_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        blocks = pack_postings(
-            with_ids, partitions=pack_parts, with_positions=with_positions
+        blocks = pack_posting_runs(
+            with_ids, with_positions=with_positions, presorted=False,
+            partitions=pack_parts,
         )
     # Publish postings BUCKETED BY shard (same Murmur3 hash + count as the
     # spill's repartition, so each pack task emits exactly one bucket file —

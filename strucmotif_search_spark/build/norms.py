@@ -52,5 +52,44 @@ def build_norms(doc_map: DataFrame) -> DataFrame:
     )
 
 
+def _merge_doc_runs(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge one shard's packed doc-metadata runs into its norms row:
+    decode the varint (doc_id, doclen) runs, doc-sort, re-pack."""
+    from ..codec import varint_decode
+
+    shard = int(pdf["shard"].iloc[0])
+    counts = pdf["n_docs"].to_numpy().astype(np.int64)
+    gaps = varint_decode(
+        b"".join(bytes(b) for b in pdf["doc_deltas"])
+    ).astype(np.int64)
+    lens = varint_decode(
+        b"".join(bytes(b) for b in pdf["tfs"])
+    ).astype(np.int64)
+    c = np.cumsum(gaps)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    base = np.where(starts > 0, c[starts - 1], 0)
+    ids = c - np.repeat(base, counts)
+    order = np.argsort(ids, kind="stable")
+    gaps_b, lens_b = pack_block(ids[order], lens[order])
+    return pd.DataFrame(
+        [(shard, int(ids.size), gaps_b, lens_b)],
+        columns=["shard", "n_docs", "doc_gaps", "doclens"],
+    )
+
+
+def build_norms_from_doc_runs(doc_rows: DataFrame) -> DataFrame:
+    """Packed per-(shard, batch) doc-metadata rows (the ``term == ''`` rows
+    of ``packed_term_runs``) -> norms, WITHOUT ever expanding to one row per
+    document: the shuffle moves a few packed rows per shard (KBs), not the
+    corpus's doc count — the same rows-never-unpacked principle as the
+    posting-run merge.  Byte-identical to ``build_norms`` over the
+    equivalent doc_map."""
+    return (
+        doc_rows.select("shard", "n_docs", "doc_deltas", "tfs")
+        .groupBy("shard")
+        .applyInPandas(_merge_doc_runs, schema=NORMS_SCHEMA)
+    )
+
+
 def unpack_norms(doc_gaps: bytes, doclens: bytes) -> tuple[np.ndarray, np.ndarray]:
     return unpack_block(doc_gaps, doclens)

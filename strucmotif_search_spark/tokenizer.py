@@ -224,6 +224,326 @@ def _tf_batches(
         yield out
 
 
+# ---------------------------------------------------------------------------
+# SPIMI map-side packed runs (the fused build's map output)
+# ---------------------------------------------------------------------------
+#
+# One row per (shard, term) PER ARROW BATCH, postings varint-packed into
+# binary cells — the literal "per-partition posting-list construction pass"
+# of the SPIMI design: partial posting lists are built map-side and only the
+# packed runs cross the shuffle.  vs one row per posting, this cuts the
+# build's big exchange by ~10x in rows and ~5x in bytes (the non-scaling
+# resource on a multi-executor cluster), and the reduce side becomes a small
+# run-row sort + a numpy merge instead of a 10^8-row Tungsten sort.
+# Doc-level metadata (doclen, content sha256) rides the same output as one
+# packed row per (shard, batch) with term '' — so the build still makes
+# exactly ONE pass over document content and needs no separate doclen
+# aggregate over a posting-row table.
+#
+# Reference analogue: the per-thread partial posting files of
+# update/Context.java:50-73, with the shuffle made explicit.
+
+from pyspark.sql.types import BinaryType, IntegerType  # noqa: E402
+
+RUNS_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType(), False),
+        StructField("term", StringType(), False),
+        StructField("n_docs", LongType(), False),
+        StructField("sum_tf", LongType(), False),
+        StructField("first_doc", LongType(), False),
+        StructField("doc_deltas", BinaryType(), False),
+        StructField("tfs", BinaryType(), False),
+    ]
+)
+
+RUNS_POS_SCHEMA = StructType(
+    RUNS_SCHEMA.fields + [StructField("pos_data", BinaryType(), False)]
+)
+
+
+def _runs_schema(with_positions: bool, with_sha: bool) -> StructType:
+    base = RUNS_POS_SCHEMA if with_positions else RUNS_SCHEMA
+    if with_sha:
+        base = StructType(
+            base.fields + [StructField("sha_data", BinaryType(), True)]
+        )
+    return base
+
+
+def _run_batches(
+    batches: Iterator[pd.DataFrame],
+    pattern: str,
+    docs_per_shard: int,
+    with_positions: bool,
+    with_sha: bool,
+) -> Iterator[pd.DataFrame]:
+    """Packed-run kernel: tokenization identical to :func:`_tf_batches`
+    (frozen contract), then entries are sorted (term-code, doc_id) in numpy
+    and each maximal (term, shard) run is varint-packed exactly like a
+    posting block payload (absolute first doc, then gaps; tfs as varints).
+    Doc-metadata rows (term '') pack (doc_id -> doclen[, sha256]) per shard.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .codec import varint_encode_with_lengths
+
+    pos_cols = ["pos_data"] if with_positions else []
+    sha_cols = ["sha_data"] if with_sha else []
+    all_cols = (
+        ["shard", "term", "n_docs", "sum_tf", "first_doc", "doc_deltas",
+         "tfs"] + pos_cols + sha_cols
+    )
+
+    def _doc_rows(doc_ids, doclens, shas) -> pd.DataFrame:
+        """One packed row per shard: this batch's (doc_id, doclen[, sha])."""
+        order = np.argsort(doc_ids, kind="stable")
+        ids = doc_ids[order].astype(np.int64)
+        lens = doclens[order].astype(np.int64)
+        shard = (ids // docs_per_shard).astype(np.int64)
+        rs = np.empty(ids.size, dtype=bool)
+        rs[0] = True
+        rs[1:] = shard[1:] != shard[:-1]
+        starts = np.flatnonzero(rs)
+        ends = np.append(starts[1:], ids.size)
+        gaps = np.empty(ids.size, dtype=np.int64)
+        gaps[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+        gaps[starts] = ids[starts]
+        gb, gl = varint_encode_with_lengths(gaps.astype(np.uint64))
+        lb, ll = varint_encode_with_lengths(lens.astype(np.uint64))
+        go = np.zeros(ids.size + 1, dtype=np.int64)
+        np.cumsum(gl, out=go[1:])
+        lo = np.zeros(ids.size + 1, dtype=np.int64)
+        np.cumsum(ll, out=lo[1:])
+        gv, lv = memoryview(gb), memoryview(lb)
+        cols = {
+            "shard": shard[starts].astype(np.int32),
+            "term": [""] * starts.size,
+            "n_docs": (ends - starts).astype(np.int64),
+            # sum_tf on doc rows = the run's total doclen, so corpus stats
+            # need only SUM(sum_tf) over doc rows — no decode
+            "sum_tf": np.add.reduceat(lens, starts).astype(np.int64),
+            "first_doc": ids[starts].astype(np.int64),
+            "doc_deltas": [
+                bytes(gv[go[s]:go[e]]) for s, e in zip(starts, ends)
+            ],
+            "tfs": [bytes(lv[lo[s]:lo[e]]) for s, e in zip(starts, ends)],
+        }
+        if with_positions:
+            cols["pos_data"] = [b""] * starts.size
+        if with_sha:
+            sh = shas[order]
+            cols["sha_data"] = [
+                b"".join(sh[s:e]) for s, e in zip(starts, ends)
+            ]
+        return pd.DataFrame(cols)
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        doc_id_arr = pdf["doc_id"].to_numpy().astype(np.int64)
+        sha_arr = (
+            pdf["content_sha256"].to_numpy() if with_sha else None
+        )
+        content = pa.array(pdf["content"], type=pa.string())
+        toks = pc.split_pattern_regex(content, pattern="[^A-Za-z0-9_]+")
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        flat = pc.utf8_ltrim(flat, characters="0123456789")
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        parent = parent.filter(mask)
+        rows = parent.to_numpy() if len(parent) else np.empty(0, np.int64)
+        doclens = np.bincount(rows, minlength=len(pdf)).astype(np.int64)
+        if len(flat) == 0:
+            yield _doc_rows(doc_id_arr, doclens, sha_arr)
+            continue
+        d = pc.dictionary_encode(flat)
+        codes = d.indices.to_numpy().astype(np.int64)
+        key = (
+            rows.astype(np.uint64) << np.uint64(32)
+        ) | codes.astype(np.uint64)
+        if with_positions:
+            row_change = np.empty(rows.size, dtype=bool)
+            row_change[0] = True
+            row_change[1:] = rows[1:] != rows[:-1]
+            row_starts = np.flatnonzero(row_change)
+            row_group = np.cumsum(row_change) - 1
+            ordinals = (
+                np.arange(rows.size, dtype=np.int64)
+                - row_starts[row_group]
+            )
+            korder = np.argsort(key, kind="stable")
+            skey = key[korder]
+            spos = ordinals[korder]
+            uniq, starts, counts = np.unique(
+                skey, return_index=True, return_counts=True
+            )
+            entry_pos = np.split(spos, starts[1:])
+        else:
+            uniq, counts = np.unique(key, return_counts=True)
+            entry_pos = None
+        urows = (uniq >> np.uint64(32)).astype(np.int64)
+        ucodes = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        e_docs = doc_id_arr[urows]
+        # group entries by term code, doc-ascending within; shard is
+        # monotonic in doc_id so (code, doc) order gives maximal
+        # (term, shard) runs for free
+        order = np.lexsort((e_docs, ucodes))
+        e_docs = e_docs[order]
+        e_codes = ucodes[order]
+        e_tfs = counts[order].astype(np.int64)
+        e_shard = (e_docs // docs_per_shard).astype(np.int64)
+        n = e_docs.size
+        rs = np.empty(n, dtype=bool)
+        rs[0] = True
+        rs[1:] = (e_codes[1:] != e_codes[:-1]) | (e_shard[1:] != e_shard[:-1])
+        starts = np.flatnonzero(rs)
+        ends = np.append(starts[1:], n)
+        gaps = np.empty(n, dtype=np.int64)
+        gaps[0] = e_docs[0]
+        np.subtract(e_docs[1:], e_docs[:-1], out=gaps[1:])
+        gaps[starts] = e_docs[starts]
+        gb, gl = varint_encode_with_lengths(gaps.astype(np.uint64))
+        tb, tl = varint_encode_with_lengths(e_tfs.astype(np.uint64))
+        go = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(gl, out=go[1:])
+        to = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tl, out=to[1:])
+        gv, tv = memoryview(gb), memoryview(tb)
+        terms = (
+            d.dictionary.take(pa.array(e_codes[starts])).to_pandas().to_numpy()
+        )
+        cols = {
+            "shard": e_shard[starts].astype(np.int32),
+            "term": terms,
+            "n_docs": (ends - starts).astype(np.int64),
+            "sum_tf": np.add.reduceat(e_tfs, starts).astype(np.int64),
+            "first_doc": e_docs[starts].astype(np.int64),
+            "doc_deltas": [
+                bytes(gv[go[s]:go[e]]) for s, e in zip(starts, ends)
+            ],
+            "tfs": [bytes(tv[to[s]:to[e]]) for s, e in zip(starts, ends)],
+        }
+        if with_positions:
+            # per-entry position lists, reordered to (code, doc) entry
+            # order, flattened with a reset at each entry's first position
+            # (same encoding as posting-block pos_data)
+            pos_sorted = [entry_pos[i] for i in order]
+            pflat = (
+                np.concatenate(pos_sorted)
+                if pos_sorted
+                else np.empty(0, dtype=np.int64)
+            ).astype(np.int64)
+            pstarts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(e_tfs, out=pstarts[1:])
+            pgaps = np.empty(pflat.size, dtype=np.int64)
+            if pflat.size:
+                pgaps[0] = pflat[0]
+                np.subtract(pflat[1:], pflat[:-1], out=pgaps[1:])
+                pgaps[pstarts[:-1]] = pflat[pstarts[:-1]]
+            pb, pl = varint_encode_with_lengths(pgaps.astype(np.uint64))
+            po = np.zeros(pflat.size + 1, dtype=np.int64)
+            np.cumsum(pl, out=po[1:])
+            pv = memoryview(pb)
+            cols["pos_data"] = [
+                bytes(pv[po[pstarts[s]]:po[pstarts[e]]])
+                for s, e in zip(starts, ends)
+            ]
+        if with_sha:
+            cols["sha_data"] = [None] * starts.size
+        out = pd.DataFrame(cols)[
+            [c for c in all_cols if c in cols or c in ("sha_data",)]
+        ]
+        yield pd.concat(
+            [out, _doc_rows(doc_id_arr, doclens, sha_arr)],
+            ignore_index=True,
+        )
+
+
+def packed_term_runs(
+    docs: DataFrame,
+    docs_per_shard: int,
+    content_col: str = "content",
+    with_positions: bool = False,
+    with_sha: bool = False,
+) -> DataFrame:
+    """``(doc_id, content)`` -> packed SPIMI runs, one row per (shard, term)
+    per Arrow batch (see module comment above).  ``with_sha`` computes the
+    content digest JVM-side inside the same scan (``unhex(sha2(...))``) and
+    packs the raw 32-byte digests into the per-shard doc-metadata rows."""
+    cols = ["doc_id", F.col(content_col).alias("content")]
+    if with_sha:
+        cols.append(
+            F.unhex(F.sha2(F.col(content_col), 256)).alias("content_sha256")
+        )
+    src = docs.select(*cols)
+    pattern = TOKEN_PATTERN
+    schema = _runs_schema(with_positions, with_sha)
+    return src.mapInPandas(
+        lambda it: _run_batches(
+            it, pattern, docs_per_shard, with_positions, with_sha
+        ),
+        schema=schema,
+    )
+
+
+DOC_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("doclen", LongType(), False),
+    ]
+)
+
+DOC_META_SHA_SCHEMA = StructType(
+    DOC_META_SCHEMA.fields
+    + [StructField("content_sha256", StringType(), True)]
+)
+
+
+def decode_doc_meta(doc_rows: DataFrame, with_sha: bool = False) -> DataFrame:
+    """Inverse of the doc-metadata packing: ``(doc_id, doclen[, sha hex])``
+    one row per document.  Input: the ``term == ''`` rows of
+    :func:`packed_term_runs` output."""
+
+    def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codec import varint_decode
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            counts = pdf["n_docs"].to_numpy().astype(np.int64)
+            gaps = varint_decode(
+                b"".join(bytes(b) for b in pdf["doc_deltas"])
+            ).astype(np.int64)
+            lens = varint_decode(
+                b"".join(bytes(b) for b in pdf["tfs"])
+            ).astype(np.int64)
+            c = np.cumsum(gaps)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            base = np.where(starts > 0, c[starts - 1], 0)
+            ids = c - np.repeat(base, counts)
+            cols = {"doc_id": ids, "doclen": lens}
+            if with_sha:
+                hex_all = b"".join(
+                    bytes(b) for b in pdf["sha_data"]
+                ).hex()
+                cols["content_sha256"] = [
+                    hex_all[i * 64:(i + 1) * 64] for i in range(ids.size)
+                ]
+            yield pd.DataFrame(cols)
+
+    cols = ["n_docs", "doc_deltas", "tfs"] + (["sha_data"] if with_sha else [])
+    return doc_rows.select(*cols).mapInPandas(
+        _unpack, schema=DOC_META_SHA_SCHEMA if with_sha else DOC_META_SCHEMA
+    )
+
+
 def term_frequencies(
     docs: DataFrame,
     content_col: str = "content",

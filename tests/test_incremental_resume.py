@@ -199,12 +199,15 @@ def test_fused_resume_mid_merge(spark, corpus, tmp_path_factory):
 
     import strucmotif_search_spark.build.builder as bmod
 
-    real_terms = bmod.build_terms
+    # decode_doc_meta is the first post-spill call on the fused path (the
+    # SPIMI-runs layout inlines the vocab agg, so build_terms is no longer
+    # on this path)
+    real_meta = bmod.decode_doc_meta
 
-    def exploding_terms(df):
+    def exploding_meta(*a, **kw):
         raise RuntimeError("simulated crash post-spill")
 
-    bmod.build_terms = exploding_terms
+    bmod.decode_doc_meta = exploding_meta
     try:
         with pytest.raises(Exception, match="simulated crash"):
             build_index(
@@ -213,7 +216,7 @@ def test_fused_resume_mid_merge(spark, corpus, tmp_path_factory):
                 gen="gen-000001",
             )
     finally:
-        bmod.build_terms = real_terms
+        bmod.decode_doc_meta = real_meta
 
     assert store_a.current_gen() is None  # crash never published
     assert store_a.stage_done("gen-000001", "partials")
