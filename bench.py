@@ -1053,10 +1053,15 @@ def main() -> None:
         scaling = run_scaling()
 
     total = time.time() - t_total
+    # north-rule metric includes query p95: computed over the q* suite rows
+    # (pure query latencies; build/op_* rows are throughput benches)
+    q_lat = sorted(v for k, v in queries.items() if k.startswith("q"))
+    p95 = q_lat[min(len(q_lat) - 1, int(0.95 * len(q_lat)))] if q_lat else None
     result = {
         "metric": "index-build throughput + BM25 query suite + N-vs-4N scaling",
         "value": round(total, 2),
         "unit": "sec",
+        "query_p95_sec": p95,
         "queries": queries,
         "sf": sf,
         "build": {
