@@ -405,6 +405,25 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: deterministic coarse quantizer (8 lowest-id vectors),
+    nprobe=3 of 8 cells — the list-partitioned ANN scale path."""
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    cent_rows = emb.orderBy(F.asc("vec_id")).limit(8).collect()
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cent_rows
+    ]
+    return similarity.ivf_cosine_topk(
+        emb.where(F.col("vec_id") != 0),
+        [float(x) for x in qvec],
+        k=10,
+        nprobe=3,
+        centroids=centroids,
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -780,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_cosine_topk": _q_cosine_topk,
             "sim_embedding_near_dup": _q_embedding_near_dup,
             "sim_lsh_topk": _q_lsh_topk,
+            "sim_ivf_topk": _q_ivf_topk,
             "rel_semi_join": _q_semi_join,
             "rel_anti_join": _q_anti_join,
             "rel_partition_filter": _q_partition_filter,
@@ -1014,6 +1034,33 @@ LIMIT 10
                 tau=0.3, n_planes=4
             ),
             "sim_lsh_topk": _lsh_topk_sql(n_planes=6, k=10),
+            # IVF: same deterministic quantizer (8 lowest-id vectors),
+            # nearest-centroid assignment replayed with a window argmax,
+            # query probes the 3 nearest cells, exact cosine ranks
+            "sim_ivf_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id ASC LIMIT 8),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cid FROM cent CROSS JOIN q
+  ORDER BY list_cosine_similarity(cv, qv) DESC, cid ASC LIMIT 3
+)
+SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 4)::DOUBLE AS cosine
+FROM assign a CROSS JOIN q
+WHERE a.vec_id != 0 AND a.cid IN (SELECT cid FROM probes)
+ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id ASC
+LIMIT 10
+""",
             "dd_minhash_lsh": _minhash_lsh_sql(
                 num_hashes=16, bands=8, threshold=0.2, max_bucket_size=2
             ),

@@ -122,6 +122,34 @@ def test_cosine_topk_exact_and_lsh_recall(spark):
     assert len(set(lsh) & set(exact)) >= 3
 
 
+def test_ivf_topk_determinism_and_recall(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    exact = {
+        r["vec_id"]
+        for r in similarity.cosine_topk_bruteforce(df, q, k=10).collect()
+    }
+    # full probe (nprobe == n_cells) degenerates to exact brute force
+    full = similarity.ivf_cosine_topk(df, q, k=10, n_cells=8, nprobe=8)
+    assert {r["vec_id"] for r in full.collect()} == exact
+    # partial probe: deterministic across runs, ranked exactly, recall > 0
+    a = [r["vec_id"] for r in
+         similarity.ivf_cosine_topk(df, q, k=10, n_cells=8, nprobe=3).collect()]
+    b = [r["vec_id"] for r in
+         similarity.ivf_cosine_topk(df, q, k=10, n_cells=8, nprobe=3).collect()]
+    assert a == b
+    assert a[0] == 0  # the query vector lands in a probed cell (it IS cid 0)
+    assert len(set(a) & exact) >= 3
+    # assignment is a map-only expression: no Exchange before the cell filter
+    plan = similarity.ivf_cosine_topk(
+        df, q, k=10, n_cells=8, nprobe=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_embedding_near_dup_pairs(spark):
     rng = np.random.default_rng(9)
     base = rng.standard_normal(16).astype(np.float32)

@@ -1,0 +1,122 @@
+"""The north rule's deployment contract: the complete system runs via
+``spark-submit --py-files`` on a multi-executor cluster.
+
+This test packages the library into a --py-files zip, stands up a REAL
+standalone cluster (master + worker + 2 executor JVMs), submits
+jobs/build_submit.py against it, and verifies the published index from a
+separate reader session: consistency zeros, and the smoke query's top-k
+matching the pure-numpy oracle exactly (rank + doc_ids + scores at 6dp).
+
+Reference analogue: the reference's batch entry point is a CLI driver too
+(update/StrucmotifUpdate.java:73-75); this is the cluster-native equivalent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+from strucmotif_search_spark.build import IndexStore
+from strucmotif_search_spark.cluster import SPARK_HOME, StandaloneCluster
+from strucmotif_search_spark.corpus import generate_corpus
+from strucmotif_search_spark.oracle import build_oracle, bm25_topk
+from strucmotif_search_spark.streaming.incremental import verify_consistency
+
+SPARK_SUBMIT = os.path.join(SPARK_HOME, "bin", "spark-submit")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_spark_submit_pyfiles_multi_executor(spark, tmp_path):
+    src = str(tmp_path / "corpus")
+    docs = generate_corpus(spark, 300, seed=7, partitions=4)
+    docs.write.mode("overwrite").parquet(src)
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from make_pyfiles import make_pyfiles_zip
+    finally:
+        sys.path.pop(0)
+
+    zip_path = make_pyfiles_zip(str(tmp_path / "smsp.zip"))
+    index_root = str(tmp_path / "index")
+    query = "value table merge"
+
+    with StandaloneCluster(cores=4, memory="4g") as cluster:
+        env = dict(
+            os.environ,
+            PYSPARK_PYTHON=sys.executable,
+            PYSPARK_DRIVER_PYTHON=sys.executable,
+        )
+        # the library must reach driver AND executors through --py-files
+        # alone — scrub any repo path the test session exported
+        env.pop("PYTHONPATH", None)
+        proc = subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", cluster.master_url,
+                "--py-files", zip_path,
+                # 2 executors x 2 cores: the multi-executor shape the rule
+                # names (scaled down for CI; bench.py runs 1-vs-4 executors)
+                "--conf", "spark.cores.max=4",
+                "--conf", "spark.executor.cores=2",
+                "--conf", "spark.executor.memory=1g",
+                "--conf", "spark.driver.memory=1g",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.scheduler.minRegisteredResourcesRatio=1.0",
+                "--conf", "spark.ui.enabled=false",
+                os.path.join(REPO, "jobs", "build_submit.py"),
+                "--source", src,
+                "--index-root", index_root,
+                "--docs-per-shard", "64",
+                "--query", query,
+                "--k", "10",
+            ],
+            env=env,
+            cwd=str(tmp_path),  # NOT the repo: imports must come from the zip
+            capture_output=True,
+            text=True,
+            timeout=540,
+        )
+        assert proc.returncode == 0, (
+            f"spark-submit failed\nstdout:\n{proc.stdout[-4000:]}\n"
+            f"stderr:\n{proc.stderr[-4000:]}"
+        )
+
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["n_docs"] == 300
+    assert out["gen"].startswith("gen-")
+    # the submitted app really ran on the standalone master, not local[*]
+    assert out["master"].startswith("spark://")
+
+    # read the published index back from an independent session
+    store = IndexStore(index_root)
+    assert store.current_gen() == out["gen"]
+    assert verify_consistency(spark, store) == {
+        "orphan_doc_ids": 0,
+        "inconsistent_terms": 0,
+    }
+
+    # top-k parity with the pure-numpy oracle (rank-identical, scores @6dp)
+    rows = docs.select("repo", "path", "commit", "lang", "content").collect()
+    doc_map = {
+        r2["doc_id"]: r2
+        for r2 in store.read_table(spark, "doc_map").collect()
+    }
+    by_key = {
+        (r["repo"], r["path"], r["commit"]): r["content"] for r in rows
+    }
+    ids = sorted(doc_map)
+    texts = [
+        by_key[(doc_map[i]["repo"], doc_map[i]["path"], doc_map[i]["commit"])]
+        for i in ids
+    ]
+    expected = bm25_topk(build_oracle(ids, texts), query, k=10)
+    got = [(h["doc_id"], h["score"]) for h in out["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (_, a), (_, b) in zip(got, expected):
+        assert abs(a - b) < 1e-6
