@@ -717,6 +717,12 @@ def _q_events_window(spark, sf_dir):  # T1 micro-batch window agg (batch view)
     )
 
 
+def _q_sessions(spark, sf_dir):  # gap-based session windows (events table)
+    from strucmotif_search_spark.operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap="6 hours")
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -813,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rel_set_difference": _q_set_difference,
             "rel_set_intersection": _q_set_intersection,
             "rel_events_window": _q_events_window,
+            "st_sessions": _q_sessions,
         }
     )
     return q
@@ -1132,6 +1139,27 @@ SELECT o_custkey AS key FROM orders
 SELECT (floor(epoch(ts) / 3600))::BIGINT AS hour_bucket, event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+            # session_window semantics: a new session starts only when the
+            # inter-event gap strictly exceeds 6h (the boundary merges)
+            "st_sessions": """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start_epoch,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
 """,
         }
     )

@@ -1,0 +1,111 @@
+"""Sessionization: batch session_window semantics + the custom stateful
+streaming operator (applyInPandasWithState) agreeing on closed sessions."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from strucmotif_search_spark.operators.sessions import sessionize
+from strucmotif_search_spark.streaming.stateful import sessionize_stream
+
+BASE = dt.datetime(2024, 3, 1, 0, 0, 0)
+GAP_S = 3600  # 1 hour
+
+
+def _mk_events():
+    """3 users; per-user sessions split by >= 1h gaps (values are exact in
+    binary so sums are order-independent)."""
+    rows = []
+
+    def ev(uid, minutes, value):
+        rows.append((BASE + dt.timedelta(minutes=minutes), uid, float(value)))
+
+    # user 1: two sessions (3 events / 2 events), gap 180 min between
+    ev(1, 0, 1.0); ev(1, 10, 2.0); ev(1, 50, 3.0)
+    ev(1, 230, 4.0); ev(1, 260, 5.0)
+    # user 2: one long chain (each step < 60 min) -> ONE session
+    for i in range(5):
+        ev(2, i * 55, 1.5)
+    # user 3: boundary case — exactly 60 min gap MERGES (session_window
+    # extends through the closed end of the interval); 61 min splits
+    ev(3, 0, 7.0); ev(3, 60, 8.0); ev(3, 121, 9.0)
+    return rows
+
+
+def _expected():
+    def epoch(minutes):
+        return int((BASE + dt.timedelta(minutes=minutes)).timestamp())
+
+    return {
+        (1, epoch(0), 3, 6.0),
+        (1, epoch(230), 2, 9.0),
+        (2, epoch(0), 5, 7.5),
+        (3, epoch(0), 2, 15.0),
+        (3, epoch(121), 1, 9.0),
+    }
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "ts timestamp, user_id long, value double"
+    )
+
+
+def test_sessionize_batch_exact(spark):
+    out = sessionize(
+        _df(spark, _mk_events()), gap="1 hour"
+    ).collect()
+    got = {
+        (r["user_id"], r["session_start_epoch"], r["n_events"], r["sum_value"])
+        for r in out
+    }
+    assert got == _expected()
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    # original events in one file; two far-future sentinel files (distinct
+    # users) advance the watermark in two later micro-batches so every
+    # original final session's event-time timer fires before the stream ends
+    _df(spark, _mk_events()).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "part1")
+    )
+    far1 = [(BASE + dt.timedelta(days=10), 9001, 0.0)]
+    far2 = [(BASE + dt.timedelta(days=30), 9002, 0.0)]
+    _df(spark, far1).coalesce(1).write.parquet(str(src / "part2"))
+    _df(spark, far2).coalesce(1).write.parquet(str(src / "part3"))
+    # the file source orders batches by modification time
+    now = time.time()
+    for i, d in enumerate(["part1", "part2", "part3"]):
+        for root, _dirs, files in os.walk(str(src / d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*")
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=GAP_S)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start_epoch"], r["n_events"], r["sum_value"])
+        for r in spark.table("sessions_out")
+        .where(F.col("user_id") < 9000)
+        .collect()
+    }
+    assert got == _expected()
