@@ -76,6 +76,59 @@ def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _ENGINES[key]
 
 
+def _incr_engine(spark: SparkSession, sf_dir: str, kind: str) -> SearchEngine:
+    """Engine whose CURRENT generation was produced through the incremental
+    path on the production (fused, bucketed, positional) layout — the
+    round-2 failure mode, now value-gated through the driver:
+
+    - ``add``:    build over doc_id % 5 != 0, then ``add_documents`` the
+                  held-out 20% (E1 delta-plus + S8 generation union);
+    - ``remove``: build over all docs, then ``remove_documents`` every
+                  doc_id % 7 == 0 (E2 delta-minus + E3 posting surgery).
+
+    A BM25 gate over these engines must match the plain full/filtered-corpus
+    oracle exactly — proving df/cf/avgdl and the posting payloads came out
+    of the update identical to a from-scratch build (the reference's
+    update-consistency contract, UpdateIntegrationTest.java:100-171).
+    """
+    key = f"{id(spark)}|{sf_dir}|{kind}"
+    if key not in _ENGINES:
+        import tempfile
+
+        from strucmotif_search_spark.streaming.incremental import (
+            add_documents,
+            remove_documents,
+        )
+
+        docs = _docs(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix=f"ssx_{kind}_")
+        store = IndexStore(root)
+        base = (
+            docs.where(F.col("doc_id") % 5 != 0) if kind == "add" else docs
+        )
+        build_index(
+            spark,
+            _as_corpus(base),
+            store,
+            docs_per_shard=512,
+            shards_per_chunk=1 << 20,
+            checkpoint_partials=False,
+            with_positions=True,
+        )
+        if kind == "add":
+            add_documents(
+                spark, store, _as_corpus(docs.where(F.col("doc_id") % 5 == 0))
+            )
+        else:
+            remove_documents(
+                spark,
+                store,
+                _as_corpus(docs.where(F.col("doc_id") % 7 == 0)),
+            )
+        _ENGINES[key] = SearchEngine(spark, store)
+    return _ENGINES[key]
+
+
 def _orig_doc_id(df: DataFrame) -> DataFrame:
     """Map engine hits back to the driver table's doc_id via the path field."""
     eng_cols = [c for c in df.columns if c not in ("repo", "path", "commit", "lang")]
@@ -96,16 +149,19 @@ def _bm25_query(terms: str, k: int, mode: str, **search_kw) -> Callable:
     return run
 
 
-# BM25 oracle SQL builder (DuckDB dialect, same semantics as the engine)
-def _bm25_sql(terms: list[str], k: int, mode: str) -> str:
+# BM25 oracle SQL builder (DuckDB dialect, same semantics as the engine);
+# doc_where restricts the corpus (the after-REMOVE oracle is a from-scratch
+# BM25 over the surviving docs)
+def _bm25_sql(terms: list[str], k: int, mode: str, doc_where: str = "") -> str:
     vals = ",".join(f"('{t}')" for t in sorted(set(terms)))
     and_filter = (
         "HAVING count(*) = (SELECT count(*) FROM q)" if mode == "and" else ""
     )
+    where = f"WHERE {doc_where}" if doc_where else ""
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
-  FROM documents
+  FROM documents {where}
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
@@ -381,6 +437,10 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.repetition_signals(_docs(spark, sf_dir))
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,6 +844,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ii_phrase_count"] = _phrase
+
+    # incremental-path value gates (S8/E1-E4 on the production layout):
+    # BM25 through an index produced by ADD / REMOVE must equal a
+    # from-scratch oracle over the corresponding corpus
+    def _after_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _incr_engine(spark, sf_dir, "add")
+        hits = eng.search("table query", k=10, mode="or", with_meta=True)
+        return _orig_doc_id(hits).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    def _after_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _incr_engine(spark, sf_dir, "remove")
+        hits = eng.search("table query", k=10, mode="or", with_meta=True)
+        return _orig_doc_id(hits).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    def _terms_after_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _incr_engine(spark, sf_dir, "add")
+        return eng.terms.select("term", "df", "cf")
+
+    q["ii_bm25_after_add"] = _after_add
+    q["ii_bm25_after_remove"] = _after_remove
+    q["ii_terms_after_add"] = _terms_after_add
     q.update(
         {
             "ii_terms_df_cf": _q_terms_table,
@@ -802,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_quality": _q_quality,
             "ts_fingerprint": _q_fingerprint,
             "ts_langid": _q_langid,
+            "ts_repetition": _q_repetition,
             "sim_cosine_topk": _q_cosine_topk,
             "sim_embedding_near_dup": _q_embedding_near_dup,
             "sim_lsh_topk": _q_lsh_topk,
@@ -831,6 +917,17 @@ def oracle_sql() -> dict[str, str]:
         for name, (terms, k, mode) in _BM25_CASES.items()
     }
     sql["ii_bm25_pruned_topk"] = _bm25_sql(["value", "table"], 10, "or")
+    # incremental-path oracles: after ADD the index must equal a full-corpus
+    # build; after REMOVE, a from-scratch build over the survivors
+    sql["ii_bm25_after_add"] = _bm25_sql(["table", "query"], 10, "or")
+    sql["ii_bm25_after_remove"] = _bm25_sql(
+        ["table", "query"], 10, "or", doc_where="doc_id % 7 != 0"
+    )
+    sql["ii_terms_after_add"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+"""
     _exp = {"customer": ["supplier"], "stream": ["batch", "filter"]}
     sql["ii_bm25_expanded"] = _bm25_expanded_sql(_exp, 10, "or")
     sql["ii_bm25_expanded_and"] = _bm25_expanded_sql(_exp, 10, "and")
@@ -1000,6 +1097,50 @@ FROM tokstats
 SELECT doc_id,
        md5(array_to_string(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), ' ')) AS fingerprint
 FROM documents
+""",
+            # Gopher-style repetition signals; grams replayed via
+            # unnest + ordinal self-pairing, mode tie-broken gram-ascending
+            "ts_repetition": f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines,
+         regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks
+  FROM documents
+),
+linesig AS (
+  SELECT doc_id,
+         len(lines) AS n, len(list_distinct(lines)) AS nd,
+         coalesce(list_sum(list_transform(lines, l -> length(l))), 0) AS chars,
+         coalesce(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0) AS chars_d
+  FROM base
+),
+gram_rows AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS tok_chars,
+         unnest(list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                               s -> s[1] || ' ' || s[2])) AS gram
+  FROM base
+),
+gram_counts AS (
+  SELECT doc_id, tok_chars, gram, count(*) AS cnt
+  FROM gram_rows GROUP BY doc_id, tok_chars, gram
+),
+topgram AS (
+  SELECT doc_id, tok_chars, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rk
+  FROM gram_counts
+)
+SELECT l.doc_id,
+       round(CASE WHEN l.n > 0 THEN (l.n - l.nd)::DOUBLE / l.n ELSE 0.0 END, 6)
+         AS dup_line_frac,
+       round(CASE WHEN l.chars > 0 THEN (l.chars - l.chars_d)::DOUBLE / l.chars
+                  ELSE 0.0 END, 6) AS dup_line_char_frac,
+       coalesce(round(CASE WHEN t.tok_chars > 0
+                           THEN t.cnt * (length(t.gram) - 1)::DOUBLE / t.tok_chars
+                           ELSE 0.0 END, 6), 0.0) AS top_2gram_frac
+FROM linesig l
+LEFT JOIN topgram t ON t.doc_id = l.doc_id AND t.rk = 1
 """,
             "ts_langid": f"""
 WITH {_TOK_CTE},

@@ -98,3 +98,91 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score_expr(t).alias("quality"),
         fingerprint_expr(t).alias("fingerprint"),
     )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition-quality signals per document:
+
+      dup_line_frac      — fraction of (trimmed, non-empty) lines that are
+                           repeats of another line in the same doc;
+      dup_line_char_frac — fraction of line characters living in those
+                           repeated copies (chars - distinct-line chars);
+      top_2gram_frac     — fraction of token characters covered by the most
+                           frequent token 2-gram (ties: gram ascending).
+
+    Line signals are pure per-row Catalyst array expressions (scan speed,
+    no shuffle).  The 2-gram mode needs a per-(doc, gram) count: explode ->
+    two-level hash agg -> max_by, the same distributed shape as the SPIMI
+    term count (A1) — at 100 TB this shuffles one narrow row per token,
+    never text.  Repetition thresholds are the standard LLM-corpus quality
+    gate (Gopher table A1); the reference's analogous scan-time quality
+    predicate is its residue pLDDT filter (config/StrucmotifConfig.java:
+    75-79).
+    """
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), F.trim), lambda x: x != ""
+    )
+    nd = F.size(F.array_distinct(lines))
+    n = F.size(lines)
+    chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    chars_d = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    line_sig = docs.select(
+        "doc_id",
+        F.round(
+            F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(chars > 0, (chars - chars_d) / chars).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+    toks = F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0)
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    gram_rows = docs.select(
+        "doc_id", tok_chars.alias("tok_chars"), F.explode(grams).alias("gram")
+    )
+    gram_counts = gram_rows.groupBy("doc_id", "tok_chars", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    # most frequent gram per doc; covered chars = cnt * (gram chars minus
+    # the separator space).  min_by on (-cnt, gram) = deterministic mode.
+    top = gram_counts.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct(
+                F.col("cnt"),
+                (F.length("gram") - 1).alias("glen"),
+                F.col("tok_chars"),
+            ),
+            F.struct((-F.col("cnt")).alias("neg"), F.col("gram")),
+        ).alias("m")
+    ).select(
+        "doc_id",
+        F.round(
+            F.when(
+                F.col("m.tok_chars") > 0,
+                F.col("m.cnt") * F.col("m.glen") / F.col("m.tok_chars"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_2gram_frac"),
+    )
+    return (
+        line_sig.join(top, "doc_id", "left")
+        .withColumn(
+            "top_2gram_frac", F.coalesce("top_2gram_frac", F.lit(0.0))
+        )
+    )
