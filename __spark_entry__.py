@@ -465,6 +465,17 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: IVF-cell-bucketed near-dup pruning, keep-lowest-id rule."""
+    emb = _embeddings(spark, sf_dir)
+    cent_rows = emb.orderBy(F.asc("vec_id")).limit(8).collect()
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cent_rows
+    ]
+    return similarity.semantic_dedup(emb, tau=0.3, centroids=centroids)
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: deterministic coarse quantizer (8 lowest-id vectors),
     nprobe=3 of 8 cells — the list-partitioned ANN scale path."""
@@ -892,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_embedding_near_dup": _q_embedding_near_dup,
             "sim_lsh_topk": _q_lsh_topk,
             "sim_ivf_topk": _q_ivf_topk,
+            "dd_semantic_dedup": _q_semantic_dedup,
             "rel_semi_join": _q_semi_join,
             "rel_anti_join": _q_anti_join,
             "rel_partition_filter": _q_partition_filter,
@@ -1208,6 +1220,35 @@ FROM assign a CROSS JOIN q
 WHERE a.vec_id != 0 AND a.cid IN (SELECT cid FROM probes)
 ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id ASC
 LIMIT 10
+""",
+            # SemDeDup oracle: replay IVF assignment (same centroid rule as
+            # sim_ivf_topk), in-cell pairs, keep-lowest-id canonical
+            "dd_semantic_dedup": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id ASC LIMIT 8),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT b.vec_id AS vec_id, a.vec_id AS id_a,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+),
+canon AS (
+  SELECT vec_id, id_a AS dup_of, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY id_a ASC) AS rn
+  FROM pairs
+)
+SELECT vec_id, dup_of, round(cos, 4)::DOUBLE AS cosine
+FROM canon WHERE rn = 1
 """,
             "dd_minhash_lsh": _minhash_lsh_sql(
                 num_hashes=16, bands=8, threshold=0.2, max_bucket_size=2

@@ -254,3 +254,81 @@ def test_multimodal_bmp_decode():
     hdr += b"\x00" * 16
     out = multimodal.decode_image(bytes(hdr) + bytes(raster))
     assert (out == img).all()
+
+
+def test_repetition_signals_exact(spark):
+    rows = [
+        # 4 lines, "dup line" twice -> 1 of 4 lines is a repeat copy
+        (0, "dup line\nunique one\ndup line\nunique two"),
+        # all lines distinct
+        (1, "alpha\nbeta\ngamma"),
+        # empty / whitespace-only doc: all signals 0
+        (2, "   \n\n  "),
+        # "x y" appears 3x among 5 grams; token chars = 6*1 = 6
+        (3, "x y x y x y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textstats.repetition_signals(docs).collect()
+    }
+    # doc 0: 4 lines, 3 distinct -> dup_line_frac 1/4; chars 8+10+8+10=36,
+    # distinct chars 8+10+10=28 -> char frac 8/36
+    assert out[0]["dup_line_frac"] == pytest.approx(0.25)
+    assert out[0]["dup_line_char_frac"] == pytest.approx(round(8 / 36, 6))
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[1]["dup_line_char_frac"] == 0.0
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_2gram_frac"] == 0.0
+    # doc 3 tokens: x y x y x y -> grams: "x y"(3), "y x"(2); top covers
+    # 3 * 2 chars of 6 token chars = 1.0
+    assert out[3]["top_2gram_frac"] == pytest.approx(1.0)
+    # tie-break determinism: equal counts pick the lexicographically
+    # smallest gram ("a b" over "b a" when both occur once... doc below)
+    tie = spark.createDataFrame(
+        [(9, "b a b")], "doc_id long, text string"
+    )
+    r9 = textstats.repetition_signals(tie).collect()[0]
+    # grams "b a"(1), "a b"(1) -> pick "a b"; covers 2 of 3 token chars
+    assert r9["top_2gram_frac"] == pytest.approx(round(2 / 3, 6))
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    vid = 0
+    for b in base:
+        for jitter in (0.0, 0.01, 0.02):  # three near-copies per cluster
+            v = b + rng.normal(scale=jitter, size=8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(i, r) for i, r in enumerate([list(b) for b in base])]
+    out = {
+        r["vec_id"]: r["dup_of"]
+        for r in similarity.semantic_dedup(
+            emb, tau=0.95, centroids=cents
+        ).collect()
+    }
+    # brute-force replay of the keep-lowest-id rule within exact cells
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cell = {}
+    for v_id, v in rows:
+        sims = [(cos(v, c), -cid) for cid, c in cents]
+        cell[v_id] = -max(sims)[1]
+    expect = {}
+    for v_id, v in rows:
+        lower = [
+            o for o, ov in rows
+            if o < v_id and cell[o] == cell[v_id] and cos(ov, v) >= 0.95
+        ]
+        if lower:
+            expect[v_id] = min(lower)
+    assert out == expect
+    assert len(expect) > 0  # the fixture actually exercises dedup
