@@ -443,6 +443,20 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_signals(_docs(spark, sf_dir))
 
 
+def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-prep pipeline: per-doc keep/drop decision record."""
+    from strucmotif_search_spark.operators import pipeline
+
+    return pipeline.corpus_prep(_docs(spark, sf_dir))
+
+
+def _q_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit rollup of the corpus-prep run: docs + token mass per outcome."""
+    from strucmotif_search_spark.operators import pipeline
+
+    return pipeline.prep_summary(pipeline.corpus_prep(_docs(spark, sf_dir)))
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -525,6 +539,89 @@ sh AS (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
   FROM idx
 )"""
+
+# corpus-prep pipeline oracle (pipe_corpus_prep / pipe_prep_summary):
+# mirrors operators/pipeline.corpus_prep — thresholds inline (12 tokens,
+# 0.63 quality, 0.3 dup-line, 0.5 top-2gram), reason precedence fixed,
+# exact-dup canonical chosen among stage-1-3 survivors only
+_PREP_CTE = f"""
+WITH base AS (
+  SELECT doc_id,
+         least(length(text) / 2000.0, 1.0) AS length_score,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))::DOUBLE
+                   / length(text)
+              ELSE 0.0 END AS alpha_ratio,
+         regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks,
+         md5(array_to_string(
+             regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), ' ')) AS fp,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM documents
+),
+rep_line AS (
+  SELECT doc_id,
+         round(CASE WHEN len(lines) > 0
+                    THEN (len(lines) - len(list_distinct(lines)))::DOUBLE
+                         / len(lines)
+                    ELSE 0.0 END, 6) AS dup_line_frac
+  FROM base
+),
+gram_rows AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS tok_chars,
+         unnest(list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                               s -> s[1] || ' ' || s[2])) AS gram
+  FROM base
+),
+gram_counts AS (
+  SELECT doc_id, tok_chars, gram, count(*) AS cnt
+  FROM gram_rows GROUP BY doc_id, tok_chars, gram
+),
+topgram AS (
+  SELECT doc_id,
+         round(CASE WHEN tok_chars > 0
+                    THEN cnt * (length(gram) - 1)::DOUBLE / tok_chars
+                    ELSE 0.0 END, 6) AS top_2gram_frac,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rk
+  FROM gram_counts
+),
+sig AS (
+  SELECT b.doc_id,
+         len(b.toks)::BIGINT AS n_tokens,
+         0.4 * b.length_score + 0.3 * b.alpha_ratio
+           + 0.3 * (1.0 - CASE WHEN len(b.toks) > 0
+                               THEN len(list_filter(b.toks, t -> length(t) <= 1))::DOUBLE
+                                    / len(b.toks)
+                               ELSE 1.0 END) AS quality,
+         b.fp,
+         r.dup_line_frac,
+         coalesce(t.top_2gram_frac, 0.0) AS top_2gram_frac
+  FROM base b
+  JOIN rep_line r ON r.doc_id = b.doc_id
+  LEFT JOIN topgram t ON t.doc_id = b.doc_id AND t.rk = 1
+),
+staged AS (
+  SELECT *, CASE WHEN n_tokens < 12 THEN 'too_short'
+                 WHEN quality < 0.63 THEN 'low_quality'
+                 WHEN dup_line_frac > 0.3 OR top_2gram_frac > 0.5
+                      THEN 'repetition'
+            END AS early_reason
+  FROM sig
+),
+canon AS (
+  SELECT fp, min(doc_id) AS canonical_id
+  FROM staged WHERE early_reason IS NULL GROUP BY fp
+),
+decided AS (
+  SELECT s.doc_id,
+         coalesce(s.early_reason,
+                  CASE WHEN s.doc_id <> c.canonical_id THEN 'exact_dup' END)
+           AS drop_reason,
+         s.n_tokens, round(s.quality, 6) AS quality
+  FROM staged s LEFT JOIN canon c ON s.fp = c.fp
+)
+"""
 
 
 def _minhash_lsh_sql(
@@ -899,6 +996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_fingerprint": _q_fingerprint,
             "ts_langid": _q_langid,
             "ts_repetition": _q_repetition,
+            "pipe_corpus_prep": _q_corpus_prep,
+            "pipe_prep_summary": _q_prep_summary,
             "sim_cosine_topk": _q_cosine_topk,
             "sim_embedding_near_dup": _q_embedding_near_dup,
             "sim_lsh_topk": _q_lsh_topk,
@@ -1153,6 +1252,18 @@ SELECT l.doc_id,
                            ELSE 0.0 END, 6), 0.0) AS top_2gram_frac
 FROM linesig l
 LEFT JOIN topgram t ON t.doc_id = l.doc_id AND t.rk = 1
+""",
+            # composed corpus-prep pipeline: same signal CTEs as ts_quality /
+            # ts_fingerprint / ts_repetition, chained with the fixed reason
+            # precedence and survivor-only exact-dup canonicalization
+            "pipe_corpus_prep": _PREP_CTE + """
+SELECT doc_id, drop_reason IS NULL AS keep, drop_reason, n_tokens, quality
+FROM decided
+""",
+            "pipe_prep_summary": _PREP_CTE + """
+SELECT coalesce(drop_reason, 'kept') AS outcome,
+       count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+FROM decided GROUP BY 1 ORDER BY 1
 """,
             "ts_langid": f"""
 WITH {_TOK_CTE},

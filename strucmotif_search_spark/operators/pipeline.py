@@ -1,0 +1,128 @@
+"""Composed training-data corpus-prep pipeline.
+
+The individual quality / dedup / repetition operators in this package are
+each a single decision signal; a real pretraining-data pipeline runs them
+as one DAG with a fixed precedence and emits an auditable per-document
+decision record (what was kept, what was dropped, and WHY — the reason
+breakdown is what you tune the thresholds against).  This module is that
+composition, expressed as one Catalyst plan so the text column is scanned
+exactly once.
+
+Reference analogue: the reference chains its scan-time admission filters
+the same way — residue pLDDT quality gate, then descriptor admission,
+then per-structure dedup of identical assemblies — before anything hits
+the index writer (config/StrucmotifConfig.java:75-79,
+io/DefaultStructureWriter.java).  Here the stages are the standard LLM
+corpus gates (Gopher table A1 / C4):
+
+  1. too_short    — n_tokens < min_tokens
+  2. low_quality  — quality score < min_quality
+  3. repetition   — dup_line_frac or top_2gram_frac above cap
+  4. exact_dup    — same normalized-token fingerprint as a LOWER-id doc
+                    that itself survived stages 1-3 (keep-first rule)
+
+Precedence is the list order: a document reports the FIRST reason that
+fires, so reason counts are disjoint and sum to the drop total.
+
+Scale shape (100 TB): stages 1-3 are pure per-row Catalyst expressions —
+map-only, whole-stage-codegen, no Python.  Stage 4 plus the repetition
+2-gram mode are the only shuffles: one narrow-row exchange per token
+2-gram (same shape as the SPIMI term count) and one hash aggregation on
+the 128-bit fingerprint (uniformly distributed by construction, no skew).
+The decision join back to documents is on doc_id, co-partitioned with the
+fingerprint agg's output by AQE.  Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import (
+    fingerprint_expr,
+    quality_score_expr,
+    repetition_signals,
+    token_count_expr,
+)
+
+
+def corpus_prep(
+    docs: DataFrame,
+    *,
+    min_tokens: int = 12,
+    min_quality: float = 0.63,
+    max_dup_line_frac: float = 0.3,
+    max_top_2gram_frac: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document corpus-prep decision record.
+
+    Returns one row per input document:
+    ``(doc_id, keep, drop_reason, n_tokens, quality)`` with ``drop_reason``
+    in {'too_short','low_quality','repetition','exact_dup'} or NULL when
+    kept, and ``quality`` rounded to 6 dp for presentation.
+
+    The exact-dup stage canonicalizes by the *normalized token stream*
+    fingerprint (:func:`fingerprint_expr` — casefolded, whitespace/punct
+    insensitive), computed only over documents that survived the earlier
+    gates: a low-quality copy never claims canonical status over a clean
+    one.  Near-dup stages (MinHash/SimHash/SemDeDup) chain after this by
+    anti-joining their pair output against the survivors — see
+    dedup.minhash_lsh_pairs / similarity.semantic_dedup.
+    """
+    t = F.col(text_col)
+    sig = docs.select(
+        "doc_id",
+        token_count_expr(t).alias("n_tokens"),
+        quality_score_expr(t).alias("quality"),
+        fingerprint_expr(t).alias("fp"),
+    ).join(repetition_signals(docs, text_col=text_col), on="doc_id")
+
+    early: Column = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .when(
+            (F.col("dup_line_frac") > max_dup_line_frac)
+            | (F.col("top_2gram_frac") > max_top_2gram_frac),
+            F.lit("repetition"),
+        )
+    )
+    staged = sig.withColumn("early_reason", early)
+
+    canon = (
+        staged.where(F.col("early_reason").isNull())
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    decided = staged.join(canon, on="fp", how="left").select(
+        "doc_id",
+        F.coalesce(
+            F.col("early_reason"),
+            F.when(F.col("doc_id") != F.col("canonical_id"), "exact_dup"),
+        ).alias("drop_reason"),
+        "n_tokens",
+        F.round("quality", 6).alias("quality"),
+    )
+    return decided.select(
+        "doc_id",
+        F.col("drop_reason").isNull().alias("keep"),
+        "drop_reason",
+        "n_tokens",
+        "quality",
+    )
+
+
+def prep_summary(decisions: DataFrame) -> DataFrame:
+    """Aggregate audit of a :func:`corpus_prep` run: one row per outcome
+    (kept / each drop reason) with document count and token mass — the
+    table a pipeline owner reads before committing thresholds."""
+    return (
+        decisions.groupBy(
+            F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("outcome")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("outcome")
+    )

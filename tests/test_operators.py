@@ -332,3 +332,65 @@ def test_semantic_dedup_matches_bruteforce(spark):
             expect[v_id] = min(lower)
     assert out == expect
     assert len(expect) > 0  # the fixture actually exercises dedup
+
+
+def test_corpus_prep_reasons_and_precedence(spark):
+    from strucmotif_search_spark.operators import pipeline
+
+    good = (
+        "some reasonably long and varied content line here\n"
+        "another distinct line with plenty of alphabetic words\n"
+        "third line keeps the quality score comfortably high"
+    )
+    repeated = "repeat this line\n" * 10 + "one more unique closing line"
+    rows = [
+        (0, good),                      # kept, canonical for fp
+        (1, "tiny doc"),                # too_short (2 tokens < 12)
+        (2, "@@ ## $$ %% ^^ && ** (( )) !! ~~ ?? // \\\\ ;; :: .. ,, << >>"
+            " @@ ## $$ %% ^^"),          # >=12 "tokens"? none match TOKEN_PATTERN -> too_short
+        (3, good.upper()),              # same normalized fp as 0 -> exact_dup
+        (4, repeated),                  # repetition (dup_line_frac 10/11... > 0.3)
+        (5, good + " distinct tail markers alpha beta gamma delta"),  # kept
+    ]
+    # doc 2 actually has zero TOKEN_PATTERN tokens -> too_short fires first
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["keep"], r["drop_reason"])
+        for r in pipeline.corpus_prep(docs, min_quality=0.3).collect()
+    }
+    assert out[0] == (True, None)
+    assert out[1] == (False, "too_short")
+    assert out[2] == (False, "too_short")
+    assert out[3] == (False, "exact_dup")
+    assert out[4] == (False, "repetition")
+    assert out[5] == (True, None)
+
+    # precedence: a doc that is BOTH too short and a dup of a kept doc
+    # reports too_short (first stage wins), and never claims canonical
+    # status: doc 10 is a short dup of nothing kept -> too_short, and a
+    # full-quality copy (11) of it is canonical for its own fingerprint
+    rows2 = [
+        (10, "dup text"),
+        (11, "dup text " * 6),  # 12 tokens, survives, own fp
+        (12, "dup text " * 6),  # exact dup of 11
+    ]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    out2 = {
+        r["doc_id"]: (r["keep"], r["drop_reason"])
+        for r in pipeline.corpus_prep(
+            docs2, min_quality=0.0, max_top_2gram_frac=2.0
+        ).collect()
+    }
+    assert out2[10] == (False, "too_short")
+    assert out2[11] == (True, None)
+    assert out2[12] == (False, "exact_dup")
+
+    # summary partitions the corpus: counts per outcome sum to the input
+    summ = {
+        r["outcome"]: r["n_docs"]
+        for r in pipeline.prep_summary(
+            pipeline.corpus_prep(docs, min_quality=0.3)
+        ).collect()
+    }
+    assert sum(summ.values()) == len(rows)
+    assert summ["kept"] == 2 and summ["too_short"] == 2
