@@ -70,6 +70,9 @@ def corpus_prep(
     anti-joining their pair output against the survivors — see
     dedup.minhash_lsh_pairs / similarity.semantic_dedup.
     """
+    from . import spread
+
+    docs = spread(docs)
     t = F.col(text_col)
     sig = docs.select(
         "doc_id",

@@ -10,6 +10,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import TOKEN_PATTERN
+from . import spread
 
 # tiny per-language marker lexicons for the n-gram/stopword heuristic
 LANG_MARKERS = {
@@ -119,6 +120,7 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     predicate is its residue pLDDT filter (config/StrucmotifConfig.java:
     75-79).
     """
+    docs = spread(docs)
     t = F.col(text_col)
     lines = F.filter(
         F.transform(F.split(t, "\n"), F.trim), lambda x: x != ""
