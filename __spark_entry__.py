@@ -196,6 +196,50 @@ tok AS (
   FROM documents
 )"""
 
+# winnowing fingerprint replay (operators/fingerprint.py): 40-bit md5 gram
+# hash packed with the 22-bit position, window-min with rightmost tie-break
+# — bit-exact in DuckDB because every step is integer arithmetic on md5
+_WINNOW_K, _WINNOW_W, _WINNOW_CAP = 3, 4, 1 << 22
+_WINNOW_CTE = f"""
+wbase AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks
+  FROM documents
+),
+wkeyed AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, len(toks) - {_WINNOW_K - 1}),
+           i -> ('0x' || substr(md5(array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')), 1, 10))::BIGINT
+                * {_WINNOW_CAP} + ({_WINNOW_CAP} - i)
+         ) AS keys
+  FROM wbase WHERE len(toks) >= {_WINNOW_K}
+),
+wsel AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(keys)),
+           p -> list_min(keys[greatest(1, p - {_WINNOW_W - 1}):p])
+         ))) AS key
+  FROM wkeyed
+),
+wfps AS (
+  SELECT doc_id, {_WINNOW_CAP - 1} - (key % {_WINNOW_CAP}) AS pos,
+         key // {_WINNOW_CAP} AS fp
+  FROM wsel
+)"""
+
+# overlap-pair replay over the winnow fingerprints: distinct per-doc hashes,
+# hot-fingerprint df cap (gate value 50), self-join, min_common 2
+_WINNOW_PAIRS_CTE = _WINNOW_CTE + """,
+wfpd AS (SELECT DISTINCT doc_id, fp FROM wfps),
+whot AS (SELECT fp FROM wfpd GROUP BY fp HAVING count(*) > 50),
+wcold AS (SELECT * FROM wfpd WHERE fp NOT IN (SELECT fp FROM whot)),
+wpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+  FROM wcold a JOIN wcold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)"""
+
 
 # expanded-BM25 oracle (A4 query expansion): each base term + its synonyms
 # form one scoring group; tf = sum of member tfs, df = max member df, one
@@ -441,6 +485,59 @@ def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_signals(_docs(spark, sf_dir))
+
+
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash + window-min) fingerprints — the
+    Schleimer/Wilkerson/Aiken SIGMOD'03 scheme; fully md5-derived so DuckDB
+    replays selection bit-exactly."""
+    from strucmotif_search_spark.operators import fingerprint
+
+    return fingerprint.winnow(_docs(spark, sf_dir), k=3, w=4)
+
+
+def _q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_fp_df deliberately small at gate scale so the hot-fingerprint
+    # candidate cap (the 100 TB boilerplate guard) actually fires and the
+    # oracle replays it
+    from strucmotif_search_spark.operators import fingerprint
+
+    return fingerprint.winnow_overlap_pairs(
+        _docs(spark, sf_dir), k=3, w=4, min_common=2, max_fp_df=50
+    )
+
+
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> transitive-closed duplicate clusters (iterative min-label
+    propagation with pointer jumping; oracle = recursive-CTE closure)."""
+    from strucmotif_search_spark.operators import fingerprint
+
+    pairs = fingerprint.winnow_overlap_pairs(
+        _docs(spark, sf_dir), k=3, w=4, min_common=2, max_fp_df=50
+    )
+    return dedup.connected_components(pairs)
+
+
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.collocations(_docs(spark, sf_dir), min_count=5, top=20)
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction FROM THE INDEX: exact tf/df come from postings +
+    terms, so no corpus re-tokenize."""
+    from strucmotif_search_spark.query.analytics import tfidf_top_terms
+
+    eng = _engine(spark, sf_dir)
+    scored = tfidf_top_terms(eng, k=3)
+    dm = _orig_doc_id(
+        eng.doc_map.select("path", "doc_id").withColumnRenamed(
+            "doc_id", "engine_doc_id"
+        )
+    ).withColumnRenamed("doc_id", "orig_doc_id")
+    return (
+        scored.join(dm, scored["doc_id"] == dm["engine_doc_id"])
+        .select(F.col("orig_doc_id").alias("doc_id"), "term", "tfidf")
+    )
 
 
 def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -996,6 +1093,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_fingerprint": _q_fingerprint,
             "ts_langid": _q_langid,
             "ts_repetition": _q_repetition,
+            "ts_winnow": _q_winnow,
+            "ts_collocations": _q_collocations,
+            "dd_winnow_overlap": _q_winnow_overlap,
+            "dd_dup_clusters": _q_dup_clusters,
+            "ii_tfidf_topk": _q_tfidf,
             "pipe_corpus_prep": _q_corpus_prep,
             "pipe_prep_summary": _q_prep_summary,
             "sim_cosine_topk": _q_cosine_topk,
@@ -1252,6 +1354,68 @@ SELECT l.doc_id,
                            ELSE 0.0 END, 6), 0.0) AS top_2gram_frac
 FROM linesig l
 LEFT JOIN topgram t ON t.doc_id = l.doc_id AND t.rk = 1
+""",
+            "ts_winnow": "WITH " + _WINNOW_CTE + """
+SELECT doc_id, pos, fp FROM wfps
+""",
+            "dd_winnow_overlap": "WITH " + _WINNOW_PAIRS_CTE + """
+SELECT doc_a, doc_b, n_common FROM wpairs
+""",
+            # transitive closure of the winnow pair graph via recursive CTE;
+            # cluster id = min doc_id reachable (matches the engine's
+            # min-label-propagation fixpoint by definition of a component)
+            "dd_dup_clusters": "WITH RECURSIVE " + _WINNOW_PAIRS_CTE + """,
+wedges AS (
+  SELECT doc_a AS s, doc_b AS d FROM wpairs
+  UNION SELECT doc_b, doc_a FROM wpairs
+),
+wreach AS (
+  SELECT s, d FROM wedges
+  UNION
+  SELECT r.s, e.d FROM wreach r JOIN wedges e ON r.d = e.s
+)
+SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM wreach GROUP BY s
+""",
+            # PMI over the adjacent-pair joint distribution: marginals are
+            # row/column sums of the bigram count table itself (matches
+            # textstats.collocations' one-corpus-pass formulation)
+            "ts_collocations": f"""
+WITH cbase AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks
+  FROM documents
+),
+cbg AS (
+  SELECT toks[i] AS a, toks[i+1] AS b
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM cbase WHERE len(toks) >= 2)
+),
+call AS (SELECT a, b, count(*) AS n_ab FROM cbg GROUP BY a, b),
+cl AS (SELECT a, sum(n_ab) AS n_a FROM call GROUP BY a),
+cr AS (SELECT b, sum(n_ab) AS n_b FROM call GROUP BY b),
+ct AS (SELECT sum(n_ab) AS t FROM call)
+SELECT a || ' ' || b AS gram, n_ab::BIGINT AS n_ab,
+       round(ln((n_ab / ct.t) / ((cl.n_a / ct.t) * (cr.n_b / ct.t))), 6) AS pmi
+FROM call JOIN cl USING (a) JOIN cr USING (b), ct
+WHERE n_ab >= 5
+ORDER BY pmi DESC, gram ASC LIMIT 20
+""",
+            "ii_tfidf_topk": f"""
+WITH {_TOK_CTE},
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+tnd AS (SELECT count(*) AS n FROM documents),
+tscored AS (
+  SELECT doc_id, term,
+         round(tf * (ln((tnd.n + 1) / (tdf.df + 1)) + 1), 6) AS tfidf
+  FROM ttf JOIN tdf USING (term), tnd
+),
+trk AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS r
+  FROM tscored
+)
+SELECT doc_id, term, tfidf FROM trk WHERE r <= 3
 """,
             # composed corpus-prep pipeline: same signal CTEs as ts_quality /
             # ts_fingerprint / ts_repetition, chained with the fixed reason

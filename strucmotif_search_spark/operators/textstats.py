@@ -188,3 +188,86 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "top_2gram_frac", F.coalesce("top_2gram_frac", F.lit(0.0))
         )
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level bigram collocations ranked by pointwise mutual
+    information: ``(gram, n_ab, pmi)``, the ``top`` bigrams with at least
+    ``min_count`` occurrences, ordered by (pmi desc, gram asc).
+
+    PMI is computed over the joint distribution of ADJACENT PAIRS:
+    p(a,b) = n_ab / T, with left/right marginals p_l(a) = sum_b n_ab / T and
+    p_r(b) = sum_a n_ab / T, over casefolded tokens of the frozen
+    TOKEN_PATTERN rule; pmi = ln(p(a,b) / (p_l(a) * p_r(b))).  The classic
+    collocation statistic (Church & Hanks 1990) with self-consistent
+    marginals; a building block for tokenizer-vocabulary and boilerplate
+    analysis over training corpora.
+
+    Scale notes: exactly ONE pass over the corpus — bigrams explode to
+    fixed-width (a, b) rows and aggregate with map-side combine; the
+    marginals and the total are aggregations of the RESULTING count table
+    (vocabulary-sized), never a second corpus scan, and they join back onto
+    the min_count survivors via broadcast.  Final top-k is a
+    TakeOrderedAndProject, not a global sort.  pmi ties break gram-ascending
+    on the 6dp-rounded value so the ordering is engine-portable.
+    """
+    t = F.lower(F.col(text_col))
+    toks = docs.select(
+        F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0).alias("toks")
+    )
+    grams = toks.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("a"),
+                        F.element_at("toks", i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("g")
+    ).select("g.a", "g.b")
+    # the one corpus aggregation; everything below reads this table only.
+    # persist: three downstream aggs (marginals, total, survivors) must not
+    # re-run the corpus scan
+    bi_all = grams.groupBy("a", "b").agg(F.count("*").alias("n_ab")).persist()
+    try:
+        left = bi_all.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+        right = bi_all.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+        total = bi_all.agg(F.sum("n_ab").alias("t_bi"))
+        # marginals are vocabulary-sized (big at corpus scale); the
+        # min_count SURVIVORS are the small side — broadcast them and STREAM
+        # the marginal tables through broadcast hash joins, never the
+        # reverse
+        surv = bi_all.where(F.col("n_ab") >= min_count)
+        s1 = left.join(F.broadcast(surv), on="a")
+        scored = (
+            right.join(F.broadcast(s1), on="b")
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.concat_ws(" ", "a", "b").alias("gram"),
+                "n_ab",
+                F.round(
+                    F.log(
+                        (F.col("n_ab") / F.col("t_bi"))
+                        / (
+                            (F.col("n_a") / F.col("t_bi"))
+                            * (F.col("n_b") / F.col("t_bi"))
+                        )
+                    ),
+                    6,
+                ).alias("pmi"),
+            )
+        )
+        out = scored.orderBy(F.col("pmi").desc(), F.col("gram").asc()).limit(top)
+        # materialize before unpersisting the upstream count table
+        return out.localCheckpoint()
+    finally:
+        bi_all.unpersist()

@@ -394,3 +394,198 @@ def test_corpus_prep_reasons_and_precedence(spark):
     }
     assert sum(summ.values()) == len(rows)
     assert summ["kept"] == 2 and summ["too_short"] == 2
+
+
+def _winnow_ref(text, k=3, w=4):
+    """Reference winnowing in plain Python: returns {(pos, fp)}."""
+    toks = [t for t in TOK.findall(text.lower())]
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:10], 16) for g in grams
+    ]
+    out = set()
+    for p in range(len(hs)):
+        lo = max(0, p - w + 1)
+        best = min(range(lo, p + 1), key=lambda i: (hs[i], -i))
+        out.add((best, hs[best]))
+    return out
+
+
+def test_winnow_matches_reference(docs):
+    from strucmotif_search_spark.operators import fingerprint
+
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in fingerprint.winnow(docs, k=3, w=4).collect()
+    }
+    want = set()
+    for r in docs.collect():
+        for pos, fp in _winnow_ref(r["text"]):
+            want.add((r["doc_id"], pos, fp))
+    assert got == want
+
+
+def test_winnow_guarantee_and_overlap(spark):
+    """Docs sharing a k+w-1-token run MUST share a fingerprint (the
+    winnowing recall guarantee), and overlap pairs surface them."""
+    from strucmotif_search_spark.operators import fingerprint
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = k + w - 1
+    rows = [
+        (0, "xx yy " + shared + " q r s"),
+        (1, shared + " totally other words here"),
+        (2, "nothing in common at all with those"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = fingerprint.winnow(d, k=3, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "guaranteed shared fingerprint missing"
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in fingerprint.winnow_overlap_pairs(
+            d, k=3, w=4, min_common=1
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_winnow_hot_fp_cap(spark):
+    """max_fp_df drops corpus-hot fingerprints from pair generation."""
+    from strucmotif_search_spark.operators import fingerprint
+
+    boiler = "this boilerplate header appears everywhere verbatim"
+    rows = [(i, boiler) for i in range(5)] + [
+        (10, "unique body one " + boiler),
+        (11, "unique body one " + boiler),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = fingerprint.winnow_overlap_pairs(d, min_common=1).count()
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in fingerprint.winnow_overlap_pairs(
+            d, min_common=1, max_fp_df=4
+        ).collect()
+    }
+    assert uncapped == 21  # all 7 docs pair via the boilerplate
+    # boilerplate fps (df=7) are excluded; only the two docs sharing the
+    # "unique body one" prefix still pair, via their low-df fingerprints
+    assert capped == {(10, 11)}
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """A 12-node chain (worst diameter) plus two cliques and a singleton
+    pair: labels must converge to the component minimum."""
+    chain = [(i, i + 1) for i in range(100, 112)]
+    cliq = [(a, b) for a in (0, 1, 2) for b in (0, 1, 2) if a < b]
+    other = [(7, 9), (9, 8)]
+    pairs = spark.createDataFrame(
+        chain + cliq + other, "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert all(got[n] == 100 for n in range(100, 113))
+    assert all(got[n] == 0 for n in (0, 1, 2))
+    assert all(got[n] == 7 for n in (7, 8, 9))
+    # every doc in a pair got a row; nothing else did
+    assert set(got) == set(range(100, 113)) | {0, 1, 2, 7, 8, 9}
+
+
+def test_connected_components_max_iter_raises(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        dedup.connected_components(pairs, max_iter=1)
+
+
+def test_collocations_pmi_exact(spark):
+    """PMI against a hand-computed reference on a tiny corpus."""
+    import math
+
+    rows = [
+        (0, "new york new york city hall"),
+        (1, "new york is big city hall is old"),
+        (2, "hall of fame in new york"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["gram"]: (r["n_ab"], r["pmi"])
+        for r in textstats.collocations(d, min_count=2, top=10).collect()
+    }
+    toks = [TOK.findall(t.lower()) for _, t in rows]
+    bi = {}
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    t_bi = sum(bi.values())
+    n_l = {}
+    n_r = {}
+    for (a, b), n in bi.items():
+        n_l[a] = n_l.get(a, 0) + n
+        n_r[b] = n_r.get(b, 0) + n
+    for (a, b), n_ab in bi.items():
+        if n_ab >= 2:
+            pmi = round(
+                math.log(
+                    (n_ab / t_bi) / ((n_l[a] / t_bi) * (n_r[b] / t_bi))
+                ),
+                6,
+            )
+            assert got[f"{a} {b}"] == (n_ab, pmi)
+    assert len(got) == sum(1 for v in bi.values() if v >= 2)
+
+
+def test_tfidf_top_terms_from_index(spark, tmp_path):
+    """TF-IDF from the published index equals a naive recompute."""
+    import math
+
+    from strucmotif_search_spark.build import IndexStore, build_index
+    from strucmotif_search_spark.engine import SearchEngine
+    from strucmotif_search_spark.query.analytics import tfidf_top_terms
+
+    rows = [
+        (0, "spark spark spark index", "p0"),
+        (1, "spark index engine", "p1"),
+        (2, "engine tuning notes notes", "p2"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, content string, path string"
+    ).select(
+        "path", "content",
+        F.lit("r").alias("repo"), F.lit("c").alias("commit"),
+        F.lit("txt").alias("lang"),
+    )
+    store = IndexStore(str(tmp_path / "idx"))
+    build_index(spark, corpus, store)
+    eng = SearchEngine(spark, store)
+    dm = {r["path"]: r["doc_id"] for r in eng.doc_map.collect()}
+    got = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in tfidf_top_terms(eng, k=2).collect()
+    }
+    texts = {dm[p]: c.split() for _, c, p in [(i, c, p) for i, c, p in rows]}
+    n = 3
+    df = {}
+    for ts in texts.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    for d, ts in texts.items():
+        scored = sorted(
+            (
+                (
+                    round(
+                        ts.count(t) * (math.log((n + 1) / (df[t] + 1)) + 1), 6
+                    ),
+                    t,
+                )
+                for t in set(ts)
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        for s, t in scored:
+            assert got[(d, t)] == s
