@@ -518,6 +518,18 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def _q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed survivor policy: winnow pairs -> CC clusters -> keep the
+    minimum doc_id per cluster, every other doc mapped to its canonical."""
+    from strucmotif_search_spark.operators import fingerprint, pipeline
+
+    docs = _docs(spark, sf_dir)
+    pairs = fingerprint.winnow_overlap_pairs(
+        docs, k=3, w=4, min_common=2, max_fp_df=50
+    )
+    return pipeline.near_dedup(docs, pairs)
+
+
 def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.collocations(_docs(spark, sf_dir), min_count=5, top=20)
 
@@ -1097,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ts_collocations": _q_collocations,
             "dd_winnow_overlap": _q_winnow_overlap,
             "dd_dup_clusters": _q_dup_clusters,
+            "pipe_near_dedup": _q_near_dedup,
             "ii_tfidf_topk": _q_tfidf,
             "pipe_corpus_prep": _q_corpus_prep,
             "pipe_prep_summary": _q_prep_summary,
@@ -1375,6 +1388,25 @@ wreach AS (
   SELECT r.s, e.d FROM wreach r JOIN wedges e ON r.d = e.s
 )
 SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM wreach GROUP BY s
+""",
+            # survivor policy over the closed pair graph: docs in no pair
+            # keep themselves; cluster members keep iff they are the min
+            "pipe_near_dedup": "WITH RECURSIVE " + _WINNOW_PAIRS_CTE + """,
+wedges AS (
+  SELECT doc_a AS s, doc_b AS d FROM wpairs
+  UNION SELECT doc_b, doc_a FROM wpairs
+),
+wreach AS (
+  SELECT s, d FROM wedges
+  UNION
+  SELECT r.s, e.d FROM wreach r JOIN wedges e ON r.d = e.s
+),
+wcc AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM wreach GROUP BY s
+)
+SELECT doc_id, coalesce(cluster_id, doc_id) AS cluster_id,
+       coalesce(cluster_id, doc_id) = doc_id AS keep
+FROM documents LEFT JOIN wcc USING (doc_id)
 """,
             # PMI over the adjacent-pair joint distribution: marginals are
             # row/column sums of the bigram count table itself (matches

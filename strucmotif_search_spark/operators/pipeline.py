@@ -129,3 +129,30 @@ def prep_summary(decisions: DataFrame) -> DataFrame:
         )
         .orderBy("outcome")
     )
+
+
+def near_dedup(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Near-duplicate survivor policy: ``(doc_id, cluster_id, keep)``.
+
+    Closes the near-dup PAIR relation (from minhash_lsh_pairs /
+    simhash_near_pairs / winnow_overlap_pairs / semantic_dedup) into
+    clusters via :func:`dedup.connected_components` and keeps exactly the
+    minimum doc_id of each cluster; documents in no pair are their own
+    cluster and are kept.  This is the correct keep-one-per-group step —
+    dropping the max of each raw pair both over-deletes (A~B, A~C would
+    drop B AND C even if B~C are unrelated revisions of A) and
+    under-deletes (chains) because pair relations are not transitive.
+
+    Scale shape: the CC runs on the pair graph only (orders of magnitude
+    smaller than the corpus); the survivors join back to documents on
+    doc_id as one broadcast-or-shuffle hash join of (doc_id, cluster_id)
+    rows, never the text.
+    """
+    from .dedup import connected_components
+
+    cc = connected_components(pairs)
+    return docs.select("doc_id").join(cc, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias("keep"),
+    )

@@ -589,3 +589,20 @@ def test_tfidf_top_terms_from_index(spark, tmp_path):
         )[:2]
         for s, t in scored:
             assert got[(d, t)] == s
+
+
+def test_near_dedup_survivor_policy(spark):
+    """Chain A~B, B~C: exactly A survives; unrelated doc keeps itself."""
+    from strucmotif_search_spark.operators import pipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in pipeline.near_dedup(docs, pairs).collect()
+    }
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False), 9: (9, True)}
