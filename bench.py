@@ -1022,6 +1022,19 @@ def main() -> None:
     t0 = time.time()
     similarity.cosine_topk_bruteforce(emb, qvec, k=10).collect()
     queries["op_cosine_topk"] = round(time.time() - t0, 3)
+    # winnowing fingerprint pass + pair->cluster close (rolling-hash dedup
+    # family; scan-speed selection, bucketed pair join, iterative CC)
+    from strucmotif_search_spark.operators import fingerprint, pipeline
+
+    t0 = time.time()
+    fingerprint.winnow(docs, k=3, w=4).count()
+    queries["op_winnow"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    wpairs = fingerprint.winnow_overlap_pairs(
+        docs, k=3, w=4, min_common=2, max_fp_df=1000
+    )
+    pipeline.near_dedup(docs, wpairs).where(~F.col("keep")).count()
+    queries["op_near_dedup"] = round(time.time() - t0, 3)
 
     # ---- positional build + phrase row (J3 path, head-term phrase) ----
     pos_root = tempfile.mkdtemp(prefix="bench_pos_")
