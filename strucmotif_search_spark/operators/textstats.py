@@ -195,6 +195,7 @@ def collocations(
     min_count: int = 5,
     top: int = 20,
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Corpus-level bigram collocations ranked by pointwise mutual
     information: ``(gram, n_ab, pmi)``, the ``top`` bigrams with at least
@@ -236,8 +237,12 @@ def collocations(
     ).select("g.a", "g.b")
     # the one corpus aggregation; everything below reads this table only.
     # persist: three downstream aggs (marginals, total, survivors) must not
-    # re-run the corpus scan
-    bi_all = grams.groupBy("a", "b").agg(F.count("*").alias("n_ab")).persist()
+    # re-run the corpus scan.  materialize=False skips persist+checkpoint
+    # and returns the pure lazy plan (plan inspection / caller-managed
+    # caching) at the cost of re-scanning per downstream agg.
+    bi_all = grams.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    if materialize:
+        bi_all = bi_all.persist()
     try:
         left = bi_all.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
         right = bi_all.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
@@ -267,7 +272,10 @@ def collocations(
             )
         )
         out = scored.orderBy(F.col("pmi").desc(), F.col("gram").asc()).limit(top)
+        if not materialize:
+            return out
         # materialize before unpersisting the upstream count table
         return out.localCheckpoint()
     finally:
-        bi_all.unpersist()
+        if materialize:
+            bi_all.unpersist()

@@ -606,3 +606,36 @@ def test_near_dedup_survivor_policy(spark):
         for r in pipeline.near_dedup(docs, pairs).collect()
     }
     assert got == {1: (1, True), 2: (1, False), 3: (1, False), 9: (9, True)}
+
+
+def test_new_op_plan_shapes(spark):
+    """Pin the PLANS.md §16 plan-shape claims: winnow is shuffle-free with
+    once-per-row md5 key materialization; collocations top-k is a
+    TakeOrderedAndProject, not a global sort."""
+    from strucmotif_search_spark.operators import fingerprint
+
+    d = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta") for i in range(64)],
+        "doc_id long, text string",
+    )
+    plan = (
+        fingerprint.winnow(d)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # keys materialized once: the md5 tree appears in exactly one Project
+    assert plan.count("md5") == 1, plan
+    assert plan.count("regexp_extract_all") == 1, plan
+    phys = (
+        fingerprint.winnow(d)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # doc-local: no shuffle beyond the small-file widen (RoundRobin)
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange \w+", phys)
+    assert all("RoundRobin" in e or "SinglePartition" in e for e in exchanges), phys
+    cplan = (
+        textstats.collocations(d, min_count=2, top=5, materialize=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in cplan, cplan
