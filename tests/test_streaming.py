@@ -106,3 +106,66 @@ def test_windowed_streaming_with_watermark(spark, tmp_path_factory):
     )
     assert joined.where(F.col("n_events") != F.col("n2")).count() == 0
     assert got.count() > 0
+
+
+def test_streaming_exact_dedup_and_canonical_map(spark, tmp_path_factory):
+    """Streaming dedup twins: dropDuplicatesWithinWatermark survivors and
+    the stateful canonical mapping, fed the same two micro-batches; state
+    carries across batches (a batch-2 copy of batch-1 content dedups)."""
+    import pandas as pd
+    from strucmotif_search_spark.streaming.dedup_stream import (
+        canonical_map_stream,
+        exact_dedup_stream,
+    )
+
+    base = tmp_path_factory.mktemp("sdedup")
+    src = str(base / "in")
+    rows1 = [
+        (0, "alpha beta", "2026-01-01 00:00:00"),
+        (1, "gamma delta", "2026-01-01 00:00:01"),
+        (2, "alpha beta", "2026-01-01 00:00:02"),   # in-batch dup of 0
+    ]
+    rows2 = [
+        (3, "alpha beta", "2026-01-01 00:10:00"),   # cross-batch dup of 0
+        (4, "epsilon", "2026-01-01 00:10:01"),
+    ]
+    schema = "doc_id long, text string, ts string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/b2")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+
+    # built-in survivor path
+    q = (
+        exact_dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("memory").queryName("sded")
+        .option("checkpointLocation", str(base / "ck1"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    surv = {r["doc_id"] for r in spark.sql("SELECT * FROM sded").collect()}
+    assert 1 in surv and 4 in surv
+    # exactly one survivor of the 'alpha beta' trio, and it is doc 0 unless
+    # batch boundaries reordered arrival (availableNow preserves file order)
+    assert len(surv & {0, 2, 3}) == 1
+
+    # stateful canonical-mapping path
+    q2 = (
+        canonical_map_stream(stream)
+        .writeStream.format("memory").queryName("scanon")
+        .outputMode("append")
+        .option("checkpointLocation", str(base / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_first"])
+        for r in spark.sql("SELECT * FROM scanon").collect()
+    }
+    assert got[0] == (0, True)
+    assert got[2] == (0, False)      # in-batch dup
+    assert got[3] == (0, False)      # cross-batch dup via state store
+    assert got[1] == (1, True) and got[4] == (4, True)
