@@ -19,8 +19,14 @@ def spread(df: DataFrame, min_headroom: int = 2) -> DataFrame:
     At corpus scale the guard never fires (a 100 TB table scans as
     thousands of splits already, and an extra full-text exchange would be
     exactly the wrong move); it exists for the small-file regime where the
-    exchange costs milliseconds and buys core-count speedup.
+    exchange costs milliseconds and buys core-count speedup.  The
+    ``df.rdd`` probe compiles the physical plan once per operator call —
+    milliseconds, paid only in the batch path (streaming inputs pass
+    through untouched: no .rdd on unbounded plans, and a streaming source
+    is already micro-batch-partitioned by the trigger).
     """
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() * min_headroom <= target:

@@ -40,8 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .. import TOKEN_PATTERN
 from . import spread
+from .dedup import _md5_int, _tokens
 
 # positions are packed into the low 22 bits of the selection key; documents
 # with more grams than this cannot be fingerprinted correctly, so fail loudly
@@ -50,9 +50,8 @@ _POS_CAP = 1 << 22
 
 
 def _gram_hash40(gram: Column) -> Column:
-    """Portable 40-bit gram hash: first 10 hex chars of md5 (DuckDB replay:
-    ('0x' || substr(md5(g), 1, 10))::BIGINT)."""
-    return F.conv(F.substring(F.md5(gram), 1, 10), 16, 10).cast("long")
+    """Portable 40-bit gram hash (shared md5-prefix scheme, dedup._md5_int)."""
+    return _md5_int(gram, hex_chars=10)
 
 
 def winnow(
@@ -79,8 +78,9 @@ def winnow(
     per document.  Multi-referenced expensive aliases block CollapseProject,
     pinning the once-per-row evaluation.
     """
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
-    tok_df = spread(docs).select("doc_id", toks.alias("toks"))
+    tok_df = spread(docs).select(
+        "doc_id", _tokens(F.col(text_col), lower=True).alias("toks")
+    )
     n_grams = F.size("toks") - (k - 1)
     keys = F.when(
         F.size("toks") >= k,
@@ -107,7 +107,9 @@ def winnow(
         )
     )
     guarded = F.when(
-        F.size("keys") >= _POS_CAP,
+        # positions are 0-based, so exactly _POS_CAP grams (max j =
+        # _POS_CAP - 1, packed offset 0) still fit; raise only ABOVE it
+        F.size("keys") > _POS_CAP,
         F.raise_error(
             F.format_string(
                 "winnow: document exceeds %d grams; positions no longer fit "
@@ -158,7 +160,10 @@ def winnow_overlap_pairs(
             .where(F.col("df") > max_fp_df)
             .select("fp")
         )
-        fps = fps.join(F.broadcast(hot), on="fp", how="anti")
+        # no broadcast hint: on boilerplate-heavy corpora the hot set is
+        # unbounded — AQE picks broadcast when it measures small (same
+        # pattern as dedup.ngram_jaccard_pairs' hot-shingle exclusion)
+        fps = fps.join(hot, on="fp", how="anti")
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
     return (

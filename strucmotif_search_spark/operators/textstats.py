@@ -247,14 +247,16 @@ def collocations(
         left = bi_all.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
         right = bi_all.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
         total = bi_all.agg(F.sum("n_ab").alias("t_bi"))
-        # marginals are vocabulary-sized (big at corpus scale); the
-        # min_count SURVIVORS are the small side — broadcast them and STREAM
-        # the marginal tables through broadcast hash joins, never the
-        # reverse
+        # no broadcast hints on purpose: the min_count survivor table is
+        # NOT generically small (bigram types with count >= 5 can vastly
+        # outnumber the unigram vocabulary under Zipf), and the marginals
+        # are vocab-sized — let AQE pick broadcast vs shuffle join from
+        # measured sizes; all joined relations are fixed-width count rows,
+        # never text
         surv = bi_all.where(F.col("n_ab") >= min_count)
-        s1 = left.join(F.broadcast(surv), on="a")
+        s1 = left.join(surv, on="a")
         scored = (
-            right.join(F.broadcast(s1), on="b")
+            right.join(s1, on="b")
             .crossJoin(F.broadcast(total))
             .select(
                 F.concat_ws(" ", "a", "b").alias("gram"),

@@ -81,16 +81,19 @@ def _canon_fn(
         (canon,) = state.get
     else:
         canon = None
+    # the group arrives as an ITERATOR of Arrow chunks — gather all chunks
+    # before sorting, or the documented doc_id-ascending tie-break would
+    # only hold within each chunk (groups larger than
+    # arrow.maxRecordsPerBatch would pick the first chunk's min)
+    doc_ids = sorted(
+        int(d) for pdf in pdfs for d in pdf["doc_id"].tolist()
+    )
     out = []
-    for pdf in pdfs:
-        # arrival order within the batch: doc_id ascending is the
-        # deterministic tie-break for same-batch duplicates
-        pdf = pdf.sort_values("doc_id")
-        for doc_id in pdf["doc_id"]:
-            first = canon is None
-            if first:
-                canon = int(doc_id)
-            out.append((key[0], int(doc_id), canon, first))
+    for doc_id in doc_ids:
+        first = canon is None
+        if first:
+            canon = doc_id
+        out.append((key[0], doc_id, canon, first))
     state.update((canon,))
     yield pd.DataFrame(
         out, columns=["digest", "doc_id", "canonical_id", "is_first"]
