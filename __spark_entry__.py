@@ -530,6 +530,20 @@ def _q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.near_dedup(docs, pairs)
 
 
+_SAMPLE_RATES = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1, "zh": 0.0}
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing sample over the lang strata (portable
+    md5-threshold draw, replayed exactly by the oracle)."""
+    from strucmotif_search_spark.operators import pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pipeline.sample_stratified(
+        docs, _SAMPLE_RATES, strata_col="lang", default_rate=0.05, seed=7
+    ).select("doc_id", "lang", "source")
+
+
 def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.collocations(_docs(spark, sf_dir), min_count=5, top=20)
 
@@ -1110,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_winnow_overlap": _q_winnow_overlap,
             "dd_dup_clusters": _q_dup_clusters,
             "pipe_near_dedup": _q_near_dedup,
+            "pipe_sample_stratified": _q_sample_stratified,
             "ii_tfidf_topk": _q_tfidf,
             "pipe_corpus_prep": _q_corpus_prep,
             "pipe_prep_summary": _q_prep_summary,
@@ -1407,6 +1422,20 @@ wcc AS (
 SELECT doc_id, coalesce(cluster_id, doc_id) AS cluster_id,
        coalesce(cluster_id, doc_id) = doc_id AS keep
 FROM documents LEFT JOIN wcc USING (doc_id)
+""",
+            # deterministic md5-threshold stratified sample, replayed with
+            # the exact integer thresholds the engine compiles
+            "pipe_sample_stratified": f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5('7|' || doc_id::VARCHAR), 1, 10))::BIGINT <
+      CASE lang
+        WHEN 'en' THEN {int(1.0 * (1 << 40))}
+        WHEN 'de' THEN {int(0.5 * (1 << 40))}
+        WHEN 'es' THEN {int(0.25 * (1 << 40))}
+        WHEN 'fr' THEN {int(0.1 * (1 << 40))}
+        WHEN 'zh' THEN {int(0.0 * (1 << 40))}
+        ELSE {int(0.05 * (1 << 40))}
+      END
 """,
             # PMI over the adjacent-pair joint distribution: marginals are
             # row/column sums of the bigram count table itself (matches

@@ -156,3 +156,39 @@ def near_dedup(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
         (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias("keep"),
     )
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample — the data-mixing step of
+    a training-pipeline (up/down-weight sources or languages to a recipe).
+
+    A row survives iff ``hash40(seed|key) < floor(rate[stratum] * 2^40)``
+    with the portable md5-prefix hash, so the decision is a pure row
+    expression: reproducible across engines and runs, stable under
+    repartitioning (unlike ``DataFrame.sample``, whose draw depends on the
+    partitioning), and independent per key.  Strata absent from ``rates``
+    get ``default_rate``.
+
+    Scale shape: map-only — no shuffle, no RNG state; the recipe compiles
+    into one CASE expression (recipes are human-sized).  Filter pushes down
+    to the scan when ``strata_col`` is a partition column.
+    """
+    from .dedup import _md5_int
+
+    h = _md5_int(
+        F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string")),
+        hex_chars=10,
+    )
+    expr: Column = F.lit(int(default_rate * (1 << 40)))
+    for stratum, rate in sorted(rates.items()):
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * (1 << 40)))
+        ).otherwise(expr)
+    return docs.where(h < expr)

@@ -639,3 +639,39 @@ def test_new_op_plan_shapes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in cplan, cplan
+
+
+def test_sample_stratified_deterministic_and_rated(spark):
+    """Per-stratum hash sampling: deterministic across runs and
+    repartitioning, rate-accurate, rate-0 strata empty, rate-1 complete."""
+    from strucmotif_search_spark.operators import pipeline
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    d = spark.createDataFrame(rows, "doc_id long, stratum string")
+    rates = {"a": 1.0, "b": 0.5, "c": 0.0}
+    got1 = {
+        r["doc_id"]
+        for r in pipeline.sample_stratified(
+            d, rates, strata_col="stratum", seed=3
+        ).collect()
+    }
+    got2 = {
+        r["doc_id"]
+        for r in pipeline.sample_stratified(
+            d.repartition(7), rates, strata_col="stratum", seed=3
+        ).collect()
+    }
+    assert got1 == got2  # partitioning-independent
+    a = {i for i in got1 if i % 3 == 0}
+    b = {i for i in got1 if i % 3 == 1}
+    c = {i for i in got1 if i % 3 == 2}
+    assert len(a) == 1000 and len(c) == 0
+    assert 400 <= len(b) <= 600  # ~0.5 of 1000
+    # a different seed draws a different subset of stratum b
+    got3 = {
+        r["doc_id"]
+        for r in pipeline.sample_stratified(
+            d, rates, strata_col="stratum", seed=4
+        ).collect()
+    }
+    assert {i for i in got3 if i % 3 == 1} != b
