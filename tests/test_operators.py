@@ -675,3 +675,61 @@ def test_sample_stratified_deterministic_and_rated(spark):
         ).collect()
     }
     assert {i for i in got3 if i % 3 == 1} != b
+
+
+def test_winnow_randomized_batch_vs_reference(spark):
+    """100 random documents (varied alphabet/length, one Spark job) against
+    the pure-Python winnowing reference — includes all-tie runs, repeated
+    grams, and sub-k docs."""
+    import random
+
+    rng = random.Random(1234)
+    words = [f"w{i}" for i in range(12)] + ["x"]
+    rows = []
+    for i in range(100):
+        n = rng.randrange(0, 40)
+        rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    from strucmotif_search_spark.operators import fingerprint
+
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in fingerprint.winnow(d, k=3, w=4).collect()
+    }
+    want = {
+        (i, pos, fp)
+        for i, t in rows
+        for pos, fp in _winnow_ref(t, k=3, w=4)
+    }
+    assert got == want
+
+
+def test_connected_components_randomized_vs_union_find(spark):
+    """Random 300-edge graph vs a plain union-find reference."""
+    import random
+
+    rng = random.Random(99)
+    edges = [
+        (rng.randrange(0, 120), rng.randrange(0, 120)) for _ in range(300)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(120))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {a for e in edges for a in e}
+    want = {n: find(n) for n in touched}
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == want
