@@ -580,6 +580,32 @@ def _q_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.prep_summary(pipeline.corpus_prep(_docs(spark, sf_dir)))
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination gate: the 'benchmark set' is the fixed
+    doc_id % 97 == 0 slice of the corpus itself (deterministic, and those
+    docs self-flag — the expected fixpoint), n = 8 token grams."""
+    docs = _docs(spark, sf_dir)
+    return dedup.decontaminate(
+        docs, docs.where(F.col("doc_id") % 97 == 0), n=8
+    )
+
+
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality score (CCNet perplexity-filter
+    shape, declarative + oracle-replayable)."""
+    return textstats.lm_score(_docs(spark, sf_dir))
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk training-sequence packing map, per lang stream,
+    budget 2048 tokens; two-level distributed prefix sum inside."""
+    from strucmotif_search_spark.operators import pipeline
+
+    return pipeline.pack_sequences(
+        _docs(spark, sf_dir), budget=2048, bucket=64
+    )
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -1128,6 +1154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_tfidf_topk": _q_tfidf,
             "pipe_corpus_prep": _q_corpus_prep,
             "pipe_prep_summary": _q_prep_summary,
+            "dd_decontaminate": _q_decontaminate,
+            "ts_lm_score": _q_lm_score,
+            "pipe_pack_sequences": _q_pack_sequences,
             "sim_cosine_topk": _q_cosine_topk,
             "sim_embedding_near_dup": _q_embedding_near_dup,
             "sim_lsh_topk": _q_lsh_topk,
@@ -1489,6 +1518,78 @@ FROM decided
 SELECT coalesce(drop_reason, 'kept') AS outcome,
        count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
 FROM decided GROUP BY 1 ORDER BY 1
+""",
+            # decontamination replay: distinct casefolded 8-gram md5s per
+            # doc, benchmark = the doc_id % 97 == 0 slice, hit = shared gram
+            "dd_decontaminate": f"""
+WITH xtok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks
+  FROM documents
+),
+xgrams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(toks[i:i+7], ' ')) AS g
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+        FROM xtok WHERE len(toks) >= 8)
+),
+xbench AS (SELECT DISTINCT g FROM xgrams WHERE doc_id % 97 = 0),
+xhits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hit_grams
+  FROM xgrams JOIN xbench USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_hit_grams, 0)::BIGINT AS n_hit_grams,
+       coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN xhits h USING (doc_id)
+""",
+            # bigram-LM replay: add-one smoothing, left marginal, corpus
+            # unigram vocab; avg ln P per bigram occurrence, 4 dp
+            "ts_lm_score": f"""
+WITH mtok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks
+  FROM documents
+),
+mbg AS (
+  SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM mtok WHERE len(toks) >= 2)
+),
+mcnt AS (SELECT a, b, count(*) AS n_ab FROM mbg GROUP BY a, b),
+mmar AS (SELECT a, sum(n_ab) AS n_a FROM mcnt GROUP BY a),
+mv AS (SELECT count(DISTINCT t) AS v
+       FROM (SELECT unnest(toks) AS t FROM mtok)),
+msc AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+         round(avg(ln((c.n_ab + 1.0) / (m.n_a + mv.v))), 4) AS lm_logprob
+  FROM mbg g JOIN mcnt c USING (a, b) JOIN mmar m USING (a), mv
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(s.lm_logprob, 0.0) AS lm_logprob
+FROM documents d LEFT JOIN msc s USING (doc_id)
+""",
+            # packing replay: the two-level engine prefix sum equals one
+            # plain per-lang window over doc_id order
+            "pipe_pack_sequences": f"""
+WITH ptok AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens
+  FROM documents
+),
+pcum AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM ptok
+)
+SELECT doc_id, lang, n_tokens::BIGINT AS n_tokens,
+       start_off::BIGINT AS start_off,
+       (start_off // 2048)::BIGINT AS seq_first,
+       (greatest(start_off, start_off + n_tokens - 1) // 2048)::BIGINT
+         AS seq_last
+FROM pcum
 """,
             "ts_langid": f"""
 WITH {_TOK_CTE},

@@ -192,3 +192,82 @@ def sample_stratified(
             F.col(strata_col) == stratum, F.lit(int(rate * (1 << 40)))
         ).otherwise(expr)
     return docs.where(h < expr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    part_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    bucket: int = 4096,
+) -> DataFrame:
+    """Training-sequence packing map: concatenate each ``part_col`` group's
+    documents in ``order_col`` order into one token stream and chunk it at
+    exact ``budget``-token boundaries (the GPT-2/LLaMA concat-then-chunk
+    packing recipe).  Emits one row per document:
+
+      (doc_id, <part_col>, n_tokens, start_off, seq_first, seq_last)
+
+    where ``start_off`` is the document's global token offset within its
+    group's stream, and ``seq_first``/``seq_last`` are the ids of the fixed-
+    size training sequences its first/last token land in (a doc crossing a
+    boundary spans ``seq_last - seq_first + 1`` sequences; empty docs carry
+    ``seq_first == seq_last`` at their offset).  Token counts use the frozen
+    TOKEN_PATTERN rule (textstats.token_count_expr).
+
+    Scale shape — the prefix sum is TWO-LEVEL, never one global window: a
+    single window partitioned only by ``part_col`` would funnel each
+    language's entire corpus through one task.  Instead documents land in
+    contiguous ``order_col`` ranges of width ``bucket``; level 1 windows
+    inside (group, bucket) — bounded partitions regardless of corpus size —
+    and level 2 prefix-sums the per-bucket TOTALS (corpus_size/bucket rows,
+    one narrow row each) and joins the bucket base offsets back.  At 10^12
+    docs the bucket-total table is ~10^8 rows; apply the same two-level
+    split recursively if even that window ever dominates.  Everything is
+    fixed-width (ids + counts) — text never shuffles.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(order_col),
+        F.col(part_col),
+        token_count_expr(F.col(text_col)).alias("n_tokens"),
+        F.floor(F.col(order_col) / bucket).alias("_bkt"),
+    )
+    w_local = (
+        Window.partitionBy(part_col, "_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = tok.withColumn(
+        "_local_off", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    totals = tok.groupBy(part_col, "_bkt").agg(
+        F.sum("n_tokens").alias("_bkt_total")
+    )
+    w_bkt = (
+        Window.partitionBy(part_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = totals.withColumn(
+        "_bkt_base", F.coalesce(F.sum("_bkt_total").over(w_bkt), F.lit(0))
+    ).select(part_col, "_bkt", "_bkt_base")
+    start = F.col("_bkt_base") + F.col("_local_off")
+    # no broadcast hint: bucket-base rows are corpus_size/bucket — tiny for
+    # any realistic corpus but NOT provably driver-sized at 10^12 docs; AQE
+    # picks broadcast from the measured size (same policy as collocations)
+    return (
+        local.join(bases, on=[part_col, "_bkt"])
+        .select(
+            F.col(order_col),
+            F.col(part_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            start.cast("long").alias("start_off"),
+            F.floor(start / budget).cast("long").alias("seq_first"),
+            F.floor(
+                F.greatest(start, start + F.col("n_tokens") - 1) / budget
+            ).cast("long").alias("seq_last"),
+        )
+    )

@@ -281,3 +281,98 @@ def collocations(
     finally:
         if materialize:
             bi_all.unpersist()
+
+
+def lm_score(
+    docs: DataFrame, text_col: str = "text", materialize: bool = True
+) -> DataFrame:
+    """CCNet-style statistical-LM quality score: train a corpus bigram
+    language model (casefolded tokens, add-one smoothing) and score every
+    document by its mean bigram log-probability.
+
+      P(b | a) = (n_ab + 1) / (n_a + V)
+      lm_logprob(doc) = avg over the doc's bigram OCCURRENCES of ln P(b|a)
+
+    with ``n_ab`` the corpus count of adjacent pair (a,b), ``n_a`` its left
+    marginal and ``V`` the corpus unigram vocabulary size.  Returns
+    ``(doc_id, n_bigrams, lm_logprob)`` — ``lm_logprob`` rounded to 4 dp
+    (engine-portable, same policy as the BM25 gates), 0.0 sentinel for docs
+    with fewer than two tokens.  Low scores mark statistically anomalous
+    text (binary junk, boilerplate soup) — the perplexity-bucket filter of
+    CCNet (Wenzek et al. 2020) with the KenLM swapped for a corpus-trained
+    bigram model so the whole pipeline stays declarative and
+    oracle-replayable.
+
+    Scale shape: pass 1 trains the model — bigram explode to fixed-width
+    (a, b) rows, one hash agg with map-side combine; the marginal and V are
+    aggregations of the RESULTING count table (vocab-sized, persisted via
+    ``materialize``), not second corpus scans.  Pass 2 re-explodes the
+    corpus and probes the model — a shuffle hash join on gram keys (the
+    model side is Zipf-long-tailed, so no broadcast hint; AQE decides), a
+    scalar cross-join for V, then one per-doc agg.  Nothing per-row Python,
+    nothing collected to the driver.
+    """
+    docs = spread(docs)
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0
+    )
+    tok_df = docs.select("doc_id", toks.alias("toks"))
+    grams = tok_df.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("a"),
+                        F.element_at("toks", i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("g"),
+    ).select("doc_id", "g.a", "g.b")
+
+    counts = grams.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    if materialize:
+        counts = counts.persist()
+    try:
+        marginal = counts.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+        vocab = tok_df.select(F.explode("toks").alias("t")).agg(
+            F.count_distinct("t").alias("v")
+        )
+        scored = (
+            grams.join(counts, on=["a", "b"])
+            .join(marginal, on="a")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_bigrams"),
+                F.round(
+                    F.avg(
+                        F.log(
+                            (F.col("n_ab") + F.lit(1.0))
+                            / (F.col("n_a") + F.col("v"))
+                        )
+                    ),
+                    4,
+                ).alias("lm_logprob"),
+            )
+        )
+        out = (
+            docs.select("doc_id")
+            .join(scored, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.coalesce("n_bigrams", F.lit(0)).cast("long").alias(
+                    "n_bigrams"
+                ),
+                F.coalesce("lm_logprob", F.lit(0.0)).alias("lm_logprob"),
+            )
+        )
+        if not materialize:
+            return out
+        return out.localCheckpoint()
+    finally:
+        if materialize:
+            counts.unpersist()

@@ -733,3 +733,151 @@ def test_connected_components_randomized_vs_union_find(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: decontamination, bigram-LM scoring, sequence packing
+# ---------------------------------------------------------------------------
+
+_R4_DOCS = [
+    (0, "en", "the quick brown fox jumps over the lazy dog tonight"),
+    (1, "en", "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG tonight extra"),
+    (2, "en", "completely unrelated text about spark query planners"),
+    (3, "py", "import numpy as np def main return np exit now"),
+    (4, "py", ""),
+    (5, "py", "short text"),
+    (6, "en", "the quick brown fox jumps over the lazy dog barks"),
+]
+
+
+def _r4_df(spark):
+    return spark.createDataFrame(
+        _R4_DOCS, "doc_id long, lang string, text string"
+    )
+
+
+def _grams8(text, n=8):
+    toks = [t.lower() for t in TOK.findall(text)]
+    return {" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_decontaminate_exact(spark):
+    docs = _r4_df(spark)
+    bench = docs.where(F.col("doc_id") == 0)
+    bset = _grams8(_R4_DOCS[0][2])
+    expected = {
+        did: len(_grams8(text) & bset) for did, _, text in _R4_DOCS
+    }
+    got = {
+        r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+        for r in dedup.decontaminate(docs, bench, n=8).collect()
+    }
+    assert set(got) == set(expected)
+    for did, n_hit in expected.items():
+        assert got[did] == (n_hit, n_hit > 0), (did, got[did], n_hit)
+    # doc 1 is a casefolded copy sharing every 8-gram; doc 6 ends
+    # differently but still shares a full 8-token run; doc 2/4/5 are clean
+    assert got[1][1] and got[6][1]
+    assert not got[2][1] and not got[4][1] and not got[5][1]
+
+
+def test_decontaminate_plan_broadcast(spark):
+    docs = _r4_df(spark)
+    phys = (
+        dedup.decontaminate(docs, docs.where(F.col("doc_id") == 0), n=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in phys, phys
+    assert "BroadcastHashJoin" in phys, phys
+
+
+def test_lm_score_exact(spark):
+    import math
+    from collections import Counter
+
+    docs = _r4_df(spark)
+    tok = {
+        did: [t.lower() for t in TOK.findall(text)]
+        for did, _, text in _R4_DOCS
+    }
+    bigrams = Counter(
+        (ts[i], ts[i + 1]) for ts in tok.values() for i in range(len(ts) - 1)
+    )
+    marginal = Counter()
+    for (a, _b), c in bigrams.items():
+        marginal[a] += c
+    vocab = len({t for ts in tok.values() for t in ts})
+    expected = {}
+    for did, ts in tok.items():
+        lps = [
+            math.log(
+                (bigrams[(ts[i], ts[i + 1])] + 1.0)
+                / (marginal[ts[i]] + vocab)
+            )
+            for i in range(len(ts) - 1)
+        ]
+        expected[did] = (
+            len(lps), round(sum(lps) / len(lps), 4) if lps else 0.0
+        )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_logprob"])
+        for r in textstats.lm_score(docs).collect()
+    }
+    assert set(got) == set(expected)
+    for did, (n, lp) in expected.items():
+        assert got[did][0] == n, (did, got[did], n)
+        assert abs(got[did][1] - lp) < 1e-9, (did, got[did], lp)
+
+
+def _pack_reference(rows, budget):
+    """Single-stream python reference for concat-then-chunk packing."""
+    out = {}
+    bylang: dict[str, list] = {}
+    for did, lang, text in rows:
+        bylang.setdefault(lang, []).append((did, len(TOK.findall(text))))
+    for lang, docs_ in bylang.items():
+        start = 0
+        for did, n in sorted(docs_):
+            end_tok = max(start, start + n - 1)
+            out[did] = (lang, n, start, start // budget, end_tok // budget)
+            start += n
+    return out
+
+
+@pytest.mark.parametrize("bucket", [1, 3, 10_000])
+def test_pack_sequences_exact(spark, bucket):
+    """Exact vs the single-stream reference at three bucket widths: every
+    doc its own bucket, buckets of 3 ids (split mid-lang), and one bucket
+    (degenerates to the plain window) — the two-level prefix sum must be
+    invariant to the bucketing."""
+    from strucmotif_search_spark.operators import pipeline
+
+    docs = _r4_df(spark)
+    expected = _pack_reference(_R4_DOCS, budget=10)
+    got = {
+        r["doc_id"]: (
+            r["lang"], r["n_tokens"], r["start_off"],
+            r["seq_first"], r["seq_last"],
+        )
+        for r in pipeline.pack_sequences(
+            docs, budget=10, bucket=bucket
+        ).collect()
+    }
+    assert got == expected
+    # the fixture must actually exercise boundary crossing + the empty doc
+    crossing = [d for d, v in expected.items() if v[4] > v[3]]
+    assert crossing, expected
+    assert expected[4][1] == 0 and expected[4][3] == expected[4][4]
+
+
+def test_pack_sequences_plan_no_global_window(spark):
+    from strucmotif_search_spark.operators import pipeline
+
+    docs = _r4_df(spark)
+    phys = (
+        pipeline.pack_sequences(docs, budget=10, bucket=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # both windows carry partition keys: no single-partition funnel
+    assert "SinglePartition" not in phys, phys
+    assert "_bkt" in phys, phys
