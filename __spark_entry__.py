@@ -606,6 +606,49 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (p=8, 256 registers) over the corpus's
+    distinct token BIGRAMS — deterministic md5 integer math, so the full
+    sketch state is value-gated against a SQL replay."""
+    from strucmotif_search_spark.operators import sketches, textstats
+
+    docs = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(
+        F.col("text"), F.lit(textstats.TOKEN_PATTERN), 0
+    )
+    bigrams = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg")
+    )
+    return sketches.hll_registers(bigrams, "bg", p=8)
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries candidates + exact verify: every token with count
+    exceeding total/(k+1), k=30 — exact output, bounded-memory sketch."""
+    from strucmotif_search_spark.operators import sketches
+
+    return sketches.heavy_hitters(_docs(spark, sf_dir), k=30)
+
+
+def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facets over the FULL match set of an OR query, from the index alone
+    (no scoring, no corpus scan)."""
+    from strucmotif_search_spark.query.analytics import facet_counts
+
+    eng = _engine(spark, sf_dir)
+    return facet_counts(eng, "join merge", facet_col="repo", mode="or")
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -1157,6 +1200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_decontaminate": _q_decontaminate,
             "ts_lm_score": _q_lm_score,
             "pipe_pack_sequences": _q_pack_sequences,
+            "sk_hll_bigrams": _q_hll_bigrams,
+            "sk_heavy_hitters": _q_heavy_hitters,
+            "ii_facet_counts": _q_facet_counts,
             "sim_cosine_topk": _q_cosine_topk,
             "sim_embedding_near_dup": _q_embedding_near_dup,
             "sim_lsh_topk": _q_lsh_topk,
@@ -1590,6 +1636,53 @@ SELECT doc_id, lang, n_tokens::BIGINT AS n_tokens,
        (greatest(start_off, start_off + n_tokens - 1) // 2048)::BIGINT
          AS seq_last
 FROM pcum
+""",
+            # HLL register replay: bucket = first 2 md5 hex chars, 40-bit
+            # remainder, rho = 41 - length(bin(rem)) (41 for rem=0) — pure
+            # integer md5 math, bit-equal across engines
+            "sk_hll_bigrams": f"""
+WITH htok AS (
+  SELECT regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks FROM documents
+),
+hbg AS (
+  SELECT toks[i] || ' ' || toks[i+1] AS bg
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM htok WHERE len(toks) >= 2)
+),
+hreg AS (
+  SELECT ('0x' || substr(md5(bg), 1, 2))::BIGINT AS register,
+         max(CASE WHEN ('0x' || substr(md5(bg), 3, 10))::BIGINT = 0 THEN 41
+             ELSE 41 - length(bin(('0x' || substr(md5(bg), 3, 10))::BIGINT))
+             END) AS max_rho
+  FROM hbg GROUP BY 1
+)
+SELECT g.register::BIGINT AS register,
+       coalesce(hreg.max_rho, 0)::BIGINT AS max_rho
+FROM (SELECT unnest(generate_series(0, 255)) AS register) g
+LEFT JOIN hreg USING (register)
+""",
+            # heavy-hitters replay: exact counts, integer threshold
+            # n*(k+1) > total with k=30
+            "sk_heavy_hitters": f"""
+WITH hh AS (
+  SELECT unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS t
+  FROM documents
+),
+hht AS (SELECT count(*) AS total FROM hh),
+hhc AS (SELECT t, count(*) AS n FROM hh GROUP BY t)
+SELECT t AS term, n::BIGINT AS n FROM hhc, hht WHERE n * 31 > total
+""",
+            # facet replay: docs containing any query token, grouped by
+            # source (the engine's repo field)
+            "ii_facet_counts": f"""
+WITH ftok AS (
+  SELECT source, regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks
+  FROM documents
+)
+SELECT source AS repo, count(*)::BIGINT AS n_docs
+FROM ftok
+WHERE list_contains(toks, 'join') OR list_contains(toks, 'merge')
+GROUP BY source
 """,
             "ts_langid": f"""
 WITH {_TOK_CTE},

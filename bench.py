@@ -1049,6 +1049,18 @@ def main() -> None:
     t0 = time.time()
     pipeline.pack_sequences(docs, budget=2048, bucket=64).count()
     queries["op_pack_sequences"] = round(time.time() - t0, 3)
+    from strucmotif_search_spark.operators import sketches
+    from strucmotif_search_spark.query.analytics import facet_counts
+
+    t0 = time.time()
+    sketches.hll_registers(sketches.token_values(docs), "t", p=8).count()
+    queries["op_hll_registers"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    sketches.heavy_hitters(docs, k=30).count()
+    queries["op_heavy_hitters"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    facet_counts(engine, "v_00050 v_00100", "repo", mode="or").count()
+    queries["op_facet_counts"] = round(time.time() - t0, 3)
 
     # ---- positional build + phrase row (J3 path, head-term phrase) ----
     pos_root = tempfile.mkdtemp(prefix="bench_pos_")

@@ -54,3 +54,56 @@ def tfidf_top_terms(engine, k: int = 3) -> DataFrame:
         .where(F.col("rk") <= k)
         .select("doc_id", "term", "tfidf")
     )
+
+
+def facet_counts(
+    engine, query: str, facet_col: str = "repo", mode: str = "or"
+) -> DataFrame:
+    """Facet the FULL match set of a query (every matching document, not the
+    top-k) by a ``doc_map`` column: ``(<facet_col>, n_docs)``.
+
+    The standard search-result sidebar ("312 hits in repo A, 87 in repo B"),
+    computed from the index alone: the posting scan carries a pushed-down
+    ``In(term_id)`` predicate (S6 bucket random-read), doc ids are decoded
+    per block, matched per the query mode (OR: any term present; AND: all
+    present terms, via a per-doc distinct-term count — the A6 group-count
+    shape), then joined to ``doc_map`` for the facet value.  The corpus text
+    is never touched and scores are never computed — facets are strictly
+    cheaper than the ranked query.
+
+    Scale: shuffles carry (doc_id) / (doc_id, facet) fixed-width rows of the
+    MATCH SET only; the final aggregate is facet-cardinality-sized.  The
+    doc_map join is an equi-join on doc_id — AQE broadcasts when the match
+    set is small, shuffles otherwise.  Reference analogue: result-set
+    grouping over the hit list (SURVEY §2 P8 hit projection family).
+    """
+    from .planner import plan_query
+
+    plan = plan_query(
+        query,
+        engine.terms,
+        engine.stats,
+        stats_row=engine._stats_row,
+        vocab_lookup=engine._vocab_lookup,
+    )
+    empty = engine.spark.createDataFrame(
+        [], schema=f"{facet_col} string, n_docs long"
+    )
+    if not plan.term_ids or (mode == "and" and plan.n_absent):
+        return empty
+    decoded = decode_postings(
+        engine.postings.where(F.col("term_id").isin(plan.term_ids))
+    )
+    if mode == "and":
+        matched = (
+            decoded.groupBy("doc_id")
+            .agg(F.count_distinct("term_id").alias("ng"))
+            .where(F.col("ng") == len(plan.term_ids))
+            .select("doc_id")
+        )
+    else:
+        matched = decoded.select("doc_id").distinct()
+    dm = engine.doc_map.select("doc_id", facet_col)
+    return matched.join(dm, on="doc_id").groupBy(facet_col).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )

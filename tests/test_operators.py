@@ -881,3 +881,188 @@ def test_pack_sequences_plan_no_global_window(spark):
     # both windows carry partition keys: no single-partition funnel
     assert "SinglePartition" not in phys, phys
     assert "_bkt" in phys, phys
+
+
+# ---------------------------------------------------------------------------
+# sketches: HLL registers, Misra-Gries heavy hitters, index facet counts
+# ---------------------------------------------------------------------------
+
+
+def _hll_python(values, p=8):
+    import hashlib
+
+    m = 1 << p
+    hx = p // 4
+    reg = {}
+    for v in set(values):
+        h = hashlib.md5(v.encode()).hexdigest()
+        b = int(h[:hx], 16)
+        rem = int(h[hx:hx + 10], 16)
+        rho = 41 if rem == 0 else 41 - (len(bin(rem)) - 2)
+        reg[b] = max(reg.get(b, 0), rho)
+    return {i: reg.get(i, 0) for i in range(m)}
+
+
+def test_hll_registers_match_python_replay(spark):
+    from strucmotif_search_spark.operators import sketches
+
+    vals = [f"item_{i % 97}" for i in range(500)] + ["dup"] * 50
+    df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(7)
+    got = {
+        r["register"]: r["max_rho"]
+        for r in sketches.hll_registers(df, "v", p=8).collect()
+    }
+    assert got == _hll_python(vals, 8)
+
+
+def test_hll_estimate_and_register_merge(spark):
+    from strucmotif_search_spark.operators import sketches
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(400)], "v string")
+    b = spark.createDataFrame(
+        [(f"a{i}",) for i in range(200, 600)], "v string"
+    )
+    est = sketches.hll_estimate(sketches.hll_registers(a.union(b), "v"))
+    assert abs(est - 600) / 600 < 0.25  # p=8 std err ~6.5%; generous bound
+    # sketch merge law: registers(A ∪ B) == element-wise max — what makes
+    # the sketch additive across incremental generations
+    ra = {
+        r["register"]: r["max_rho"]
+        for r in sketches.hll_registers(a, "v").collect()
+    }
+    rb = {
+        r["register"]: r["max_rho"]
+        for r in sketches.hll_registers(b, "v").collect()
+    }
+    ru = {
+        r["register"]: r["max_rho"]
+        for r in sketches.hll_registers(a.union(b), "v").collect()
+    }
+    assert ru == {i: max(ra[i], rb[i]) for i in ra}
+
+
+def test_hll_p_validation(spark):
+    from strucmotif_search_spark.operators import sketches
+
+    df = spark.createDataFrame([("x",)], "v string")
+    for bad in (6, 0, 20):
+        with pytest.raises(ValueError):
+            sketches.hll_registers(df, "v", p=bad)
+
+
+def _hh_docs(spark, counts: dict[str, int], n_parts: int = 7):
+    """One doc per token occurrence, spread over n_parts partitions, so the
+    per-partition MG summaries genuinely have to merge."""
+    rows = [(i, t) for i, t in enumerate(
+        t for t, c in sorted(counts.items()) for _ in range(c)
+    )]
+    return spark.createDataFrame(rows, "doc_id long, text string").repartition(
+        n_parts
+    )
+
+
+def test_heavy_hitters_exact_and_boundary(spark):
+    from strucmotif_search_spark.operators import sketches
+
+    # total = 100, k = 3 -> keep n*4 > 100.  'boundary' sits EXACTLY at
+    # n*(k+1) == total and must be excluded (strict inequality).
+    counts = {"hot": 40, "boundary": 25, "warm": 20}
+    counts.update({f"tail{i}": 1 for i in range(15)})
+    docs = _hh_docs(spark, counts)
+    got = {
+        r["term"]: r["n"]
+        for r in sketches.heavy_hitters(docs, k=3).collect()
+    }
+    assert got == {"hot": 40}
+
+
+def test_heavy_hitters_matches_exact_counter(spark):
+    from collections import Counter
+
+    from strucmotif_search_spark.operators import sketches
+
+    # adversarial-ish: many distinct terms per partition with tiny k, so the
+    # MG trim path runs repeatedly; output must STILL be exact (candidates
+    # are a superset, verify is exact)
+    counts = {f"t{i:03d}": (i % 9) + 1 for i in range(120)}
+    counts["dominant"] = 400
+    counts["second"] = 150
+    docs = _hh_docs(spark, counts, n_parts=5)
+    for k in (1, 2, 8):
+        total = sum(counts.values())
+        want = {
+            t: c for t, c in counts.items() if c * (k + 1) > total
+        }
+        got = {
+            r["term"]: r["n"]
+            for r in sketches.heavy_hitters(docs, k=k).collect()
+        }
+        assert got == want, (k, got, want)
+
+
+def test_heavy_hitters_plan_broadcast_verify(spark):
+    from strucmotif_search_spark.operators import sketches
+
+    docs = _hh_docs(spark, {"a": 30, "b": 3})
+    phys = (
+        sketches.heavy_hitters(docs, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in phys, phys
+    assert "CartesianProduct" not in phys, phys
+
+
+def test_facet_counts_vs_bruteforce(spark, tmp_path):
+    from strucmotif_search_spark.build import IndexStore, build_index
+    from strucmotif_search_spark.engine import SearchEngine
+    from strucmotif_search_spark.query.analytics import facet_counts
+
+    rows = [
+        (0, "r0", "alpha beta gamma"),
+        (1, "r0", "alpha alpha delta"),
+        (2, "r1", "beta beta beta"),
+        (3, "r1", "gamma delta"),
+        (4, "r2", "epsilon zeta"),
+        (5, "r2", "alpha beta"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, repo string, content string"
+    ).select(
+        "repo", F.col("doc_id").cast("string").alias("path"), "content",
+        F.lit("c").alias("commit"), F.lit("txt").alias("lang"),
+    )
+    store = IndexStore(str(tmp_path / "fidx"))
+    build_index(spark, corpus, store)
+    eng = SearchEngine(spark, store)
+
+    def brute(terms, mode):
+        out = {}
+        for _, repo, text in rows:
+            toks = set(text.split())
+            hit = (
+                any(t in toks for t in terms)
+                if mode == "or"
+                else all(t in toks for t in terms)
+            )
+            if hit:
+                out[repo] = out.get(repo, 0) + 1
+        return out
+
+    for q, mode in [
+        ("alpha beta", "or"),
+        ("alpha beta", "and"),
+        ("gamma", "or"),
+        ("alpha alpha", "or"),   # repeated token dedup
+    ]:
+        got = {
+            r["repo"]: r["n_docs"]
+            for r in facet_counts(eng, q, "repo", mode).collect()
+        }
+        assert got == brute(q.split(), mode), (q, mode)
+    # absent term: OR ignores it, AND empties the result
+    assert {
+        r["repo"]: r["n_docs"]
+        for r in facet_counts(eng, "alpha zz_missing", "repo", "or").collect()
+    } == brute(["alpha"], "or")
+    assert facet_counts(eng, "alpha zz_missing", "repo", "and").count() == 0
+    assert facet_counts(eng, "zz_missing", "repo", "or").count() == 0
