@@ -152,12 +152,51 @@ def _bm25_query(terms: str, k: int, mode: str, **search_kw) -> Callable:
 # BM25 oracle SQL builder (DuckDB dialect, same semantics as the engine);
 # doc_where restricts the corpus (the after-REMOVE oracle is a from-scratch
 # BM25 over the surviving docs)
-def _bm25_sql(terms: list[str], k: int, mode: str, doc_where: str = "") -> str:
+def _bm25_sql(
+    terms: list[str],
+    k: int,
+    mode: str,
+    doc_where: str = "",
+    exclude: list[str] | None = None,
+    tie_by_source: bool = False,
+    post_filter: str = "",
+) -> str:
+    """``tie_by_source``: replay the engine's k-boundary tie-break exactly.
+    The engine orders ties by its INTERNAL doc_id — the dense rank over the
+    natural key (repo, path, commit) = (source, lpad(doc_id)) under the
+    driver-table mapping — so two docs with bitwise-equal BM25 scores at
+    the k cut are split by (source ASC, doc_id ASC), not doc_id alone.
+    Existing gates never tie at the boundary; queries that can (ii_bm25_not
+    at sf0.01) must opt in or the oracle silently diverges on ties."""
     vals = ",".join(f"('{t}')" for t in sorted(set(terms)))
     and_filter = (
         "HAVING count(*) = (SELECT count(*) FROM q)" if mode == "and" else ""
     )
     where = f"WHERE {doc_where}" if doc_where else ""
+    # NOT-term replay: drop docs containing any excluded term AFTER scoring
+    # with GLOBAL stats (exclusion is a filter, not a corpus change) but
+    # BEFORE the top-k limit — matches the engine's dense_len masking
+    excl_where = ""
+    if exclude:
+        evals = ",".join(f"('{t}')" for t in sorted(set(exclude)))
+        excl_where = (
+            "WHERE sc.doc_id NOT IN (SELECT DISTINCT tf.doc_id FROM tf "
+            f"JOIN (VALUES {evals}) e(term) ON tf.term = e.term)"
+        )
+    tie_join = (
+        "JOIN documents td ON sc.doc_id = td.doc_id" if tie_by_source else ""
+    )
+    tie_order = (
+        "td.source ASC, sc.doc_id ASC" if tie_by_source else "sc.doc_id ASC"
+    )
+    # post_filter: P3 search-space predicate replay — filter AFTER scoring
+    # with GLOBAL stats (the engine masks norms, it does not restat the
+    # corpus), BEFORE the top-k limit
+    filt_join = (
+        f"JOIN documents fd ON sc.doc_id = fd.doc_id AND ({post_filter})"
+        if post_filter
+        else ""
+    )
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
@@ -185,8 +224,9 @@ contrib AS (
 scores AS (
   SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id {and_filter}
 )
-SELECT doc_id, round(s, 4) AS score
-FROM scores ORDER BY s DESC, doc_id ASC LIMIT {k}
+SELECT sc.doc_id, round(sc.s, 4) AS score
+FROM scores sc {filt_join} {tie_join} {excl_where}
+ORDER BY sc.s DESC, {tie_order} LIMIT {k}
 """
 
 
@@ -245,16 +285,30 @@ wpairs AS (
 # form one scoring group; tf = sum of member tfs, df = max member df, one
 # idf per group — replayed in SQL exactly as the engine scores it
 def _bm25_expanded_sql(
-    expansions: dict[str, list[str]], k: int, mode: str
+    expansions: dict[str, list[str]],
+    k: int,
+    mode: str,
+    prefix_groups: dict[str, str] | None = None,
 ) -> str:
+    """``prefix_groups`` (gkey -> LIKE prefix): wildcard groups whose member
+    set is DERIVED from the corpus vocabulary in SQL (term LIKE 'p%') — the
+    replay of the engine's prefix_search expansion, where the terms table IS
+    the corpus vocabulary."""
     pairs = []
     for base, syns in sorted(expansions.items()):
         for m in sorted({base, *syns}):
             pairs.append(f"('{m}','{base}')")
-    grp_vals = ",".join(pairs)
-    and_filter = (
-        f"HAVING count(*) = {len(expansions)}" if mode == "and" else ""
-    )
+    grp_parts = []
+    if pairs:
+        grp_parts.append(f"VALUES {','.join(pairs)}")
+    for gkey, prefix in sorted((prefix_groups or {}).items()):
+        grp_parts.append(
+            f"SELECT DISTINCT term, '{gkey}' FROM tdf "
+            f"WHERE term LIKE '{prefix}%'"
+        )
+    grp_body = "\nUNION ALL\n".join(grp_parts)
+    n_groups = len(expansions) + len(prefix_groups or {})
+    and_filter = f"HAVING count(*) = {n_groups}" if mode == "and" else ""
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
@@ -263,8 +317,8 @@ WITH tok AS (
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
 st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
-grp(term, gkey) AS (VALUES {grp_vals}),
 tdf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+grp(term, gkey) AS ({grp_body}),
 gdf AS (
   SELECT g.gkey, max(coalesce(tdf.df, 0)) AS df
   FROM grp g LEFT JOIN tdf ON tdf.term = g.term
@@ -603,6 +657,28 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pipeline.pack_sequences(
         _docs(spark, sf_dir), budget=2048, bucket=64
+    )
+
+
+def _q_bm25_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-term query: OR over (table, query) excluding docs containing
+    'join' — exclusion applies before top-k, global stats untouched."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.search(
+        "table query", k=10, mode="or", with_meta=True, exclude="join"
+    )
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-wildcard query: 's*' expands to every vocabulary term with
+    that prefix, scored as one blended group (Lucene PrefixQuery rewrite)."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.prefix_search("s* table", k=10, mode="or", with_meta=True)
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score")
     )
 
 
@@ -1203,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sk_hll_bigrams": _q_hll_bigrams,
             "sk_heavy_hitters": _q_heavy_hitters,
             "ii_facet_counts": _q_facet_counts,
+            "ii_bm25_not": _q_bm25_not,
+            "ii_bm25_prefix": _q_bm25_prefix,
             "sim_cosine_topk": _q_cosine_topk,
             "sim_embedding_near_dup": _q_embedding_near_dup,
             "sim_lsh_topk": _q_lsh_topk,
@@ -1247,6 +1325,12 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
     _exp = {"customer": ["supplier"], "stream": ["batch", "filter"]}
     sql["ii_bm25_expanded"] = _bm25_expanded_sql(_exp, 10, "or")
     sql["ii_bm25_expanded_and"] = _bm25_expanded_sql(_exp, 10, "and")
+    sql["ii_bm25_not"] = _bm25_sql(
+        ["table", "query"], 10, "or", exclude=["join"], tie_by_source=True
+    )
+    sql["ii_bm25_prefix"] = _bm25_expanded_sql(
+        {"table": []}, 10, "or", prefix_groups={"s*": "s"}
+    )
     sql["ii_phrase_count"] = f"""
 WITH tokarr AS (
   SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks
@@ -1260,15 +1344,8 @@ SELECT doc_id, count(*)::BIGINT AS phrase_tf
 FROM idx WHERE toks[i] = 'the' AND toks[i+1] = 'table'
 GROUP BY doc_id
 """
-    sql["ii_bm25_source_filter"] = (
-        _bm25_sql(["table", "query"], 10, "or")
-        .replace(
-            "SELECT doc_id, round(s, 4) AS score\nFROM scores",
-            "SELECT scores.doc_id, round(s, 4) AS score\n"
-            "FROM scores JOIN documents d ON d.doc_id = scores.doc_id "
-            "AND d.source = 'src3'",
-        )
-        .replace("ORDER BY s DESC, doc_id ASC", "ORDER BY s DESC, scores.doc_id ASC")
+    sql["ii_bm25_source_filter"] = _bm25_sql(
+        ["table", "query"], 10, "or", post_filter="fd.source = 'src3'"
     )
     sql.update(
         {

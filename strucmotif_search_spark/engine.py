@@ -124,8 +124,19 @@ class SearchEngine:
         doc_predicate=None,
         prune_shards: bool | None = None,
         expansions: dict[str, list[str]] | None = None,
+        exclude: str | None = None,
     ) -> DataFrame:
         """BM25 top-k via the DAAT path.
+
+        ``exclude``: NOT-term clause — documents containing ANY of these
+        terms (same frozen tokenizer rule) are removed from the result set
+        BEFORE top-k selection; global BM25 statistics (idf, avgdl, N) are
+        untouched.  The term-level lift of the P2 blacklist anti-join
+        (query/bm25.py), executed shard-locally inside the DAAT kernel: the
+        excluded terms' posting blocks ride the same pushed-down scan and
+        zero their docs out of the eligibility mask.  Absent excluded terms
+        are no-ops; an excluded term that is also a query term simply
+        removes its own matches (AND mode therefore yields the empty set).
 
         ``doc_predicate``: optional Column over doc_map rows (e.g.
         ``F.col('lang') == 'py'``) — the search-space filter (P3 analogue,
@@ -140,6 +151,12 @@ class SearchEngine:
         (tf sums, df = max member df — Lucene SynonymQuery convention).
         """
         plan = self.plan(query, expansions=expansions)
+        exclude_ids: list[int] = []
+        if exclude:
+            from .oracle import tokenize
+
+            found = self._vocab_lookup(sorted(set(tokenize(exclude))))
+            exclude_ids = sorted(tid for tid, _df in found.values())
         norms = self.norms
         if doc_predicate is not None:
             # public key derivation: str(Column) renders the expression tree
@@ -169,8 +186,70 @@ class SearchEngine:
             k=k,
             mode=mode,
             prune_shards=prune_shards,
+            exclude_ids=exclude_ids or None,
         )
         return self._materialize(hits, k) if with_meta else hits
+
+    def prefix_search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        max_expansions: int = 128,
+        **kw,
+    ) -> DataFrame:
+        """Trailing-wildcard query: each token ending in ``*`` expands to ALL
+        vocabulary terms sharing its prefix, scored as ONE expansion group
+        (tf = sum of member tfs, df = max member df) — the Lucene
+        PrefixQuery → blended SynonymQuery rewrite, reusing the A4 expansion
+        machinery (plan_query groups / DAAT group_tf union).
+
+        The vocabulary probe is a pushed-down ``StartsWith`` range scan of
+        the terms table (dictionary-sized, driver-cached thereafter via the
+        vocab cache for exact terms; the prefix row set itself is ≤
+        ``max_expansions`` rows).  More than ``max_expansions`` matching
+        terms raises — a one-character prefix over a web-scale vocabulary
+        is a query-cost bomb the engine refuses rather than silently
+        truncates (Lucene's maxExpansions guard).  A wildcard with NO
+        matching vocabulary term contributes an absent group: ignored under
+        OR, empties the result under AND.  A plain token that also appears
+        as a member of a wildcard group merges into that group (documented
+        planner dedup semantics).
+        """
+        from .oracle import tokenize
+
+        base_tokens: list[str] = []
+        expansions: dict[str, list[str]] = {}
+        for raw in query.split():
+            if not (raw.endswith("*") and len(raw) > 1):
+                base_tokens.append(raw)
+                continue
+            prefix = raw[:-1]
+            toks = tokenize(prefix)
+            if len(toks) != 1 or toks[0] != prefix:
+                raise ValueError(f"invalid wildcard prefix {raw!r}")
+            rows = (
+                self.terms.where(F.col("term").startswith(prefix))
+                .select("term")
+                .orderBy("term")
+                .limit(max_expansions + 1)
+                .collect()
+            )
+            members = [r["term"] for r in rows]
+            if len(members) > max_expansions:
+                raise ValueError(
+                    f"{raw!r} expands to more than {max_expansions} terms"
+                )
+            if not members:
+                base_tokens.append(prefix)  # absent group
+                continue
+            base_tokens.append(members[0])
+            if members[1:]:
+                expansions.setdefault(members[0], []).extend(members[1:])
+        return self.search(
+            " ".join(base_tokens), k=k, mode=mode,
+            expansions=expansions or None, **kw,
+        )
 
     def search_naive(
         self,

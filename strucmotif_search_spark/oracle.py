@@ -82,6 +82,7 @@ def bm25_topk(
     k: int = 10,
     mode: str = "or",
     expansions: dict[str, list[str]] | None = None,
+    exclude: str | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for a query string.
 
@@ -149,5 +150,15 @@ def bm25_topk(
             return []  # a group with no occurring member -> conjunction empty
         need = len(resolved)
         scores = {d: s for d, s in scores.items() if seen_count[d] == need}
+    if exclude:
+        # NOT-term semantics: drop docs containing ANY excluded term; global
+        # stats (idf, avgdl, N) are untouched — exclusion is a filter, not a
+        # corpus change (matches the engine's dense_len masking)
+        excl_docs: set[int] = set()
+        for t in set(tokenize(exclude)):
+            p = index.postings.get(t)
+            if p is not None:
+                excl_docs.update(int(d) for d in p[0].tolist())
+        scores = {d: s for d, s in scores.items() if d not in excl_docs}
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]

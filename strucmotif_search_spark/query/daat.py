@@ -49,7 +49,13 @@ def _empty_pdf() -> pd.DataFrame:
     )
 
 
-def _make_scorer(plan: QueryPlan, docs_per_shard: int, k: int, mode: str):
+def _make_scorer(
+    plan: QueryPlan,
+    docs_per_shard: int,
+    k: int,
+    mode: str,
+    exclude_ids: tuple[int, ...] = (),
+):
     # ascending group-key order fixes float64 summation; rarest-first order
     # (plan.groups is already df-ascending) drives intersection
     by_key = sorted(plan.groups, key=lambda g: g.key)
@@ -92,6 +98,20 @@ def _make_scorer(plan: QueryPlan, docs_per_shard: int, k: int, mode: str):
         groups_by_tid: dict[int, pd.DataFrame] = {
             int(t): g for t, g in left.groupby("term_id", sort=False)
         }
+
+        # --- NOT-term exclusion (P2 lifted to term level): zero excluded
+        # docs out of dense_len, which doubles as the eligibility mask —
+        # so exclusion applies BEFORE pruning thetas and BEFORE top-k, and
+        # every downstream guard (prune_score eligibility, final hit mask)
+        # inherits it for free.  Excluded terms' blocks arrive in the same
+        # shard cogroup (document-sharded index), so this is shard-local.
+        for tid in exclude_ids:
+            g = groups_by_tid.get(tid)
+            if g is None:
+                continue
+            for row in g.itertuples(index=False):
+                ids, _ = unpack_block(bytes(row.doc_gaps), bytes(row.tfs))
+                dense_len[ids - base] = 0.0
 
         # --- candidate narrowing (AND): rarest-first with block skipping ---
         decoded: dict[int, np.ndarray] = {}  # group key -> dense tf
@@ -209,11 +229,16 @@ def _make_scorer(plan: QueryPlan, docs_per_shard: int, k: int, mode: str):
         if hit.size == 0:
             return _empty_pdf()
         s = score[hit]
-        # per-shard top-k heap: argpartition then exact order
+        # per-shard top-k heap: argpartition, then keep ALL docs tied with
+        # the boundary score before the exact (score desc, doc_id asc)
+        # order — selecting by score alone would break the doc_id-asc
+        # tie-break rule when distinct docs tie bitwise at the k boundary
         if hit.size > k:
-            part = np.argpartition(-s, k - 1)[:k]
-            hit, s = hit[part], s[part]
-        order = np.lexsort((hit, -s))
+            part = np.argpartition(-s, k - 1)
+            thresh = s[part[k - 1]]
+            keep = np.flatnonzero(s >= thresh)
+            hit, s = hit[keep], s[keep]
+        order = np.lexsort((hit, -s))[:k]
         return pd.DataFrame(
             {"doc_id": (hit[order] + base).astype("int64"), "score": s[order]}
         )
@@ -238,6 +263,7 @@ def bm25_topk_daat(
     mode: str = "or",
     prune_shards: bool = True,
     probe_shards: int = 8,
+    exclude_ids: list[int] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) via sharded DAAT.  Deterministic.
 
@@ -269,11 +295,19 @@ def bm25_topk_daat(
         # member->group map ambiguous (ub no longer a true upper bound);
         # fall back to the exact unpruned plan for this rare shape
         prune_shards = False
-    blocks = postings.where(F.col("term_id").isin(all_ids)).select(
+    exclude_ids = sorted(set(exclude_ids or []))
+    # excluded terms' blocks ride the same pushed-down scan + shard cogroup
+    # as the scoring terms (their doc ids mask eligibility shard-locally);
+    # shard upper bounds stay true upper bounds — exclusion only removes docs
+    blocks = postings.where(
+        F.col("term_id").isin(sorted(set(all_ids) | set(exclude_ids)))
+    ).select(
         "shard", "term_id", "first_doc_id", "max_doc_id", "block_max_tf",
         "doc_gaps", "tfs",
     )
-    scorer = _make_scorer(plan, docs_per_shard, k, mode)
+    scorer = _make_scorer(
+        plan, docs_per_shard, k, mode, tuple(exclude_ids)
+    )
 
     def score_blocks(b: DataFrame) -> DataFrame:
         return (

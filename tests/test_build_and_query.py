@@ -245,3 +245,127 @@ def test_fused_build_query_plan_is_exchange_free(spark, tmp_path_factory):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# NOT-term exclusion (P2 lifted to term level) and prefix wildcards (A4)
+# ---------------------------------------------------------------------------
+
+EXCLUDE_CASES = [
+    ("import", "or", "def"),                 # head query, head exclusion
+    ("import return", "or", "v_00001"),      # mid-df exclusion
+    ("v_00001 v_00002", "or", "import"),     # exclusion removes most docs
+    ("v_00001 v_00002", "and", "import"),
+    ("import", "or", "zz_absent_token"),     # absent exclusion = no-op
+    ("import", "or", "def return"),          # multi-term exclusion
+]
+
+
+@pytest.mark.parametrize("query,mode,excl", EXCLUDE_CASES)
+def test_exclude_rank_identical_daat(built, spark, query, mode, excl):
+    engine, oracle, _ = built
+    expected = bm25_topk(oracle, query, k=10, mode=mode, exclude=excl)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(
+            query, k=10, mode=mode, with_meta=False, exclude=excl
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    assert [s for _, s in got] == [s for _, s in expected]
+
+
+def test_exclude_full_result_set(built, spark):
+    """Large k: the exclusion must hold over the ENTIRE match set, not just
+    the head (exclusion applies before top-k selection)."""
+    engine, oracle, _ = built
+    expected = bm25_topk(oracle, "import return", k=10_000, mode="or",
+                         exclude="v_00001")
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(
+            "import return", k=10_000, mode="or", with_meta=False,
+            exclude="v_00001",
+        ).collect()
+    ]
+    assert got == expected
+    # and none of the emitted docs contains the excluded term
+    excl_docs = set(oracle.postings["v_00001"][0].tolist())
+    assert not excl_docs & {d for d, _ in got}
+
+
+def test_exclude_self_is_empty(built):
+    engine, _, _ = built
+    assert engine.search(
+        "import", k=10, mode="or", with_meta=False, exclude="import"
+    ).count() == 0
+
+
+def _prefix_expected(oracle, prefix: str, rest: str, k: int, mode: str):
+    members = sorted(t for t in oracle.postings if t.startswith(prefix))
+    assert len(members) > 1, "fixture must exercise multi-member expansion"
+    exp = {members[0]: members[1:]}
+    return bm25_topk(
+        oracle, f"{members[0]} {rest}".strip(), k=k, mode=mode,
+        expansions=exp,
+    )
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_prefix_search_rank_identical(built, spark, mode):
+    engine, oracle, _ = built
+    expected = _prefix_expected(oracle, "uniq_org0", "import", 10, mode)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.prefix_search(
+            "uniq_org0* import", k=10, mode=mode, with_meta=False
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    assert [s for _, s in got] == [s for _, s in expected]
+
+
+def test_prefix_no_match_semantics(built):
+    engine, oracle, _ = built
+    plain = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(
+            "import", k=10, mode="or", with_meta=False
+        ).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.prefix_search(
+            "zzzz_nothing* import", k=10, mode="or", with_meta=False
+        ).collect()
+    ]
+    assert got == plain  # OR ignores the absent group
+    assert engine.prefix_search(
+        "zzzz_nothing* import", k=10, mode="and", with_meta=False
+    ).count() == 0  # AND empties
+
+
+def test_prefix_max_expansions_guard(built):
+    engine, _, _ = built
+    with pytest.raises(ValueError, match="expands to more than"):
+        engine.prefix_search("v_*", k=10, max_expansions=3)
+    with pytest.raises(ValueError, match="invalid wildcard prefix"):
+        engine.prefix_search("bad prefix!*", k=10)
+
+
+def test_prefix_search_composes_with_exclude(built):
+    engine, oracle, _ = built
+    members = sorted(t for t in oracle.postings if t.startswith("uniq_org0"))
+    expected = bm25_topk(
+        oracle, f"{members[0]} import", k=10, mode="or",
+        expansions={members[0]: members[1:]}, exclude="def",
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.prefix_search(
+            "uniq_org0* import", k=10, mode="or", with_meta=False,
+            exclude="def",
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    assert [s for _, s in got] == [s for _, s in expected]
