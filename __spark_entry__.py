@@ -160,6 +160,7 @@ def _bm25_sql(
     exclude: list[str] | None = None,
     tie_by_source: bool = False,
     post_filter: str = "",
+    must: list[str] | None = None,
 ) -> str:
     """``tie_by_source``: replay the engine's k-boundary tie-break exactly.
     The engine orders ties by its INTERNAL doc_id — the dense rank over the
@@ -169,9 +170,19 @@ def _bm25_sql(
     Existing gates never tie at the boundary; queries that can (ii_bm25_not
     at sf0.01) must opt in or the oracle silently diverges on ties."""
     vals = ",".join(f"('{t}')" for t in sorted(set(terms)))
-    and_filter = (
-        "HAVING count(*) = (SELECT count(*) FROM q)" if mode == "and" else ""
-    )
+    # mode='bool' (MUST/SHOULD): terms = MUST ∪ SHOULD, ``must`` names the
+    # MUST subset — a hit needs every MUST term, SHOULD terms only score
+    if mode == "bool":
+        mvals = ",".join(f"'{t}'" for t in sorted(set(must or [])))
+        and_filter = (
+            f"HAVING count(*) FILTER (WHERE term IN ({mvals})) "
+            f"= {len(set(must or []))}"
+        )
+    else:
+        and_filter = (
+            "HAVING count(*) = (SELECT count(*) FROM q)"
+            if mode == "and" else ""
+        )
     where = f"WHERE {doc_where}" if doc_where else ""
     # NOT-term replay: drop docs containing any excluded term AFTER scoring
     # with GLOBAL stats (exclusion is a filter, not a corpus change) but
@@ -212,7 +223,7 @@ qdf AS (
   FROM q
 ),
 contrib AS (
-  SELECT tf.doc_id,
+  SELECT tf.doc_id, tf.term,
          ln((st.n - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
            * tf.tf * 2.2
            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
@@ -666,6 +677,18 @@ def _q_bm25_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     hits = eng.search(
         "table query", k=10, mode="or", with_meta=True, exclude="join"
+    )
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_bm25_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean MUST/SHOULD query (Lucene BooleanQuery): hits must contain
+    'table'; 'query' and 'join' boost scores without filtering."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.search(
+        "table", k=10, with_meta=True, should="query join"
     )
     return _orig_doc_id(hits).select(
         "doc_id", F.round("score", 4).alias("score")
@@ -1281,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_facet_counts": _q_facet_counts,
             "ii_bm25_not": _q_bm25_not,
             "ii_bm25_prefix": _q_bm25_prefix,
+            "ii_bm25_bool": _q_bm25_bool,
             "sim_cosine_topk": _q_cosine_topk,
             "sim_embedding_near_dup": _q_embedding_near_dup,
             "sim_lsh_topk": _q_lsh_topk,
@@ -1327,6 +1351,10 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
     sql["ii_bm25_expanded_and"] = _bm25_expanded_sql(_exp, 10, "and")
     sql["ii_bm25_not"] = _bm25_sql(
         ["table", "query"], 10, "or", exclude=["join"], tie_by_source=True
+    )
+    sql["ii_bm25_bool"] = _bm25_sql(
+        ["table", "query", "join"], 10, "bool", must=["table"],
+        tie_by_source=True,
     )
     sql["ii_bm25_prefix"] = _bm25_expanded_sql(
         {"table": []}, 10, "or", prefix_groups={"s*": "s"}

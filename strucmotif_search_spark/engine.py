@@ -103,7 +103,10 @@ class SearchEngine:
         return {t: v for t in terms if (v := self._vocab[t]) is not None}
 
     def plan(
-        self, query: str, expansions: dict[str, list[str]] | None = None
+        self,
+        query: str,
+        expansions: dict[str, list[str]] | None = None,
+        should: str = "",
     ) -> QueryPlan:
         return plan_query(
             query,
@@ -112,6 +115,7 @@ class SearchEngine:
             stats_row=self._stats_row,
             expansions=expansions,
             vocab_lookup=self._vocab_lookup,
+            should=should,
         )
 
     # ---- search ----------------------------------------------------------
@@ -125,8 +129,18 @@ class SearchEngine:
         prune_shards: bool | None = None,
         expansions: dict[str, list[str]] | None = None,
         exclude: str | None = None,
+        should: str | None = None,
     ) -> DataFrame:
         """BM25 top-k via the DAAT path.
+
+        ``should``: SHOULD-clause terms (Lucene BooleanQuery): when given,
+        ``query`` supplies the MUST clauses and the engine runs in boolean
+        mode — a hit must contain every MUST group, SHOULD groups add to the
+        score without filtering (absent SHOULD terms are no-ops).  ``mode``
+        is ignored in that case; with an empty/absent-only MUST side the
+        query degrades to a pure disjunction over the SHOULD terms.
+        Composes with ``exclude`` (= MUST_NOT) for the full
+        MUST/SHOULD/MUST_NOT clause triple.
 
         ``exclude``: NOT-term clause — documents containing ANY of these
         terms (same frozen tokenizer rule) are removed from the result set
@@ -150,7 +164,9 @@ class SearchEngine:
         expansions form one scoring group whose posting lists are unioned
         (tf sums, df = max member df — Lucene SynonymQuery convention).
         """
-        plan = self.plan(query, expansions=expansions)
+        plan = self.plan(query, expansions=expansions, should=should or "")
+        if should is not None:
+            mode = "bool"
         exclude_ids: list[int] = []
         if exclude:
             from .oracle import tokenize

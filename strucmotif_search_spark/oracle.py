@@ -83,6 +83,7 @@ def bm25_topk(
     mode: str = "or",
     expansions: dict[str, list[str]] | None = None,
     exclude: str | None = None,
+    should: str | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for a query string.
 
@@ -90,6 +91,9 @@ def bm25_topk(
     mode='and' — conjunctive: doc must contain ALL distinct query terms
                  (the reference's progressive-intersection semantics,
                  DefaultTargetAssembler.java:92-111).
+    ``should`` — SHOULD-clause terms (boolean mode, matching the engine):
+                 ``query`` terms are MUST, should-terms score without
+                 filtering; a term in both is MUST; ``mode`` is ignored.
     ``expansions`` (A4, ResiduePairOccurrence.java:166-227): each distinct
     query term t plus expansions[t] forms one scoring group; the group's tf
     per doc is the SUM of member tfs, its df is the MAX of present members'
@@ -98,8 +102,14 @@ def bm25_topk(
     summation order); ties broken by ascending doc_id.
     """
     base_terms = sorted(set(tokenize(query)))
-    groups: list[list[str]] = []
-    for t in base_terms:
+    should_terms = (
+        sorted(set(tokenize(should)) - set(base_terms))
+        if should is not None else []
+    )
+    groups: list[tuple[list[str], bool]] = []
+    for t, req in [(t, True) for t in base_terms] + [
+        (t, False) for t in should_terms
+    ]:
         members = [t]
         for syn in (expansions or {}).get(t, []):
             # same normalization + single-token validation as the engine
@@ -112,23 +122,24 @@ def bm25_topk(
                 )
             if toks[0] not in members:
                 members.append(toks[0])
-        groups.append(members)
+        groups.append((members, req))
 
     # resolve each group: present members, combined postings, group df
-    resolved = []  # (sort_key, present_members)
+    resolved = []  # (sort_key, present_members, required)
     n_absent = 0
-    for members in groups:
+    for members, req in groups:
         present = [m for m in members if m in index.postings]
         if not present:
-            n_absent += 1
+            # absent SHOULD groups are no-ops (matching the engine planner)
+            n_absent += 1 if req else 0
             continue
         key = min(present)  # ascending term order == ascending min member
-        resolved.append((key, present))
+        resolved.append((key, present, req))
     resolved.sort()
 
     scores: dict[int, float] = {}
     seen_count: dict[int, int] = {}
-    for _, present in resolved:
+    for _, present, req in resolved:
         gdf = max(index.df[m] for m in present)
         w = idf(index.n_docs, gdf)
         gtf: dict[int, int] = {}
@@ -144,8 +155,20 @@ def bm25_topk(
         contrib = w * (tf * (BM25_K1 + 1.0)) / denom
         for d, c in zip(ds.tolist(), contrib.tolist()):
             scores[d] = scores.get(d, 0.0) + c
-            seen_count[d] = seen_count.get(d, 0) + 1
-    if mode == "and":
+            if should is None or req:
+                seen_count[d] = seen_count.get(d, 0) + 1
+    if should is not None:
+        # boolean mode: hit must contain every present-MUST group; an absent
+        # MUST group empties the result; no MUST clauses -> pure disjunction
+        if n_absent:
+            return []
+        need = sum(1 for _, _, req in resolved if req)
+        if need:
+            scores = {
+                d: s for d, s in scores.items()
+                if seen_count.get(d, 0) == need
+            }
+    elif mode == "and":
         if n_absent:
             return []  # a group with no occurring member -> conjunction empty
         need = len(resolved)

@@ -61,6 +61,10 @@ def _make_scorer(
     by_key = sorted(plan.groups, key=lambda g: g.key)
     rarest_first = list(plan.groups)
     n_groups = len(plan.groups)
+    # bool mode (Lucene BooleanQuery MUST/SHOULD): conjunction runs over
+    # REQUIRED groups only; optional groups score but never filter
+    required = [g for g in rarest_first if g.required]
+    n_required = len(required)
     k1, b, avgdl = plan.k1, plan.b, plan.avgdl
 
     def group_tf(groups_by_tid, grp, base, lo=-1, hi=1 << 62):
@@ -113,11 +117,18 @@ def _make_scorer(
                 ids, _ = unpack_block(bytes(row.doc_gaps), bytes(row.tfs))
                 dense_len[ids - base] = 0.0
 
-        # --- candidate narrowing (AND): rarest-first with block skipping ---
+        # --- candidate narrowing (AND/bool): rarest-first, block skipping ---
+        # bool mode narrows over REQUIRED groups only, then decodes optional
+        # groups restricted to the survivors' doc range: a block outside
+        # [cand_min, cand_max] contains no doc matching every MUST clause,
+        # so its optional-term postings can never reach an emitted doc
         decoded: dict[int, np.ndarray] = {}  # group key -> dense tf
-        if mode == "and":
+        narrow = rarest_first if mode == "and" else (
+            required if mode == "bool" else []
+        )
+        if narrow:
             cand: np.ndarray | None = None  # sorted candidate doc offsets
-            for grp in rarest_first:
+            for grp in narrow:
                 lo = int(cand[0]) + base if cand is not None and cand.size else -1
                 hi = (
                     int(cand[-1]) + base
@@ -132,6 +143,15 @@ def _make_scorer(
                 cand = ids if cand is None else cand[np.isin(cand, ids)]
                 if cand.size == 0:
                     return _empty_pdf()
+            if mode == "bool":
+                clo, chi = int(cand[0]) + base, int(cand[-1]) + base
+                for grp in rarest_first:
+                    if grp.required:
+                        continue
+                    dense = group_tf(groups_by_tid, grp, base, clo, chi)
+                    decoded[grp.key] = (
+                        dense if dense is not None else _NO_POSTINGS
+                    )
 
         # --- OR-mode in-shard MaxScore pruning (block-max WAND reshaped
         # term-at-a-time): decode groups in ub-DESC order; once the summed
@@ -214,9 +234,14 @@ def _make_scorer(
                 tf + k1 * (1.0 - b + b * dl / avgdl)
             )
             score[idx] += contrib
-            matched[idx] += 1
+            if mode != "bool" or grp.required:
+                matched[idx] += 1
 
-        need = n_groups if mode == "and" else 1
+        need = (
+            n_groups if mode == "and"
+            else n_required if mode == "bool"
+            else 1
+        )
         # dense_len > 0 doubles as the doc-filter mask: norms rows are built
         # from the (optionally predicate-filtered) doc dictionary, so a doc
         # absent from norms must not be scored (P1-P3 filters apply pre-top-k)
@@ -287,8 +312,13 @@ def bm25_topk_daat(
     shard AND queries additionally skip blocks by doc-range (cursor-style
     skip pointers).
     """
-    if plan.empty_or or (mode == "and" and plan.empty_and):
+    if plan.empty_or or (mode in ("and", "bool") and plan.empty_and):
+        # NB: an absent-from-vocabulary MUST clause empties the result
+        # (checked BEFORE the no-MUST degradation below — n_required == 0
+        # with n_absent > 0 means the MUST side existed but matched nothing)
         return spark.createDataFrame([], _RESULT_SCHEMA)
+    if mode == "bool" and plan.n_required == 0:
+        mode = "or"  # the user gave no MUST clause -> pure disjunction
     all_ids = sorted({tid for g in plan.groups for tid in g.member_ids})
     if len(all_ids) < sum(len(g.member_ids) for g in plan.groups):
         # a term shared by two expansion groups would make the phase-0
@@ -352,6 +382,18 @@ def bm25_topk_daat(
     )
     if mode == "and":
         shard_ub = shard_ub.where(F.col("n_groups_present") == len(plan.groups))
+    elif mode == "bool":
+        # a shard missing any REQUIRED group cannot produce a hit; optional
+        # groups still feed its ub (true upper bound either way)
+        req_keys = [g.key for g in plan.groups if g.required]
+        req_present = (
+            meta.where(F.col("gkey").isin(req_keys))
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_req"))
+            .where(F.col("n_req") == len(req_keys))
+            .select("shard")
+        )
+        shard_ub = shard_ub.join(req_present, on="shard", how="left_semi")
     # phase 1: probe the most promising shards (tiny collect: probe_shards rows)
     probe = [
         r["shard"]

@@ -49,12 +49,17 @@ class TermGroup:
     ``key`` = min member term_id — the deterministic float64 summation order
     across groups (ascending key == ascending term_id for singleton groups,
     so unexpanded queries score bit-identically to the pre-expansion engine).
+
+    ``required``: Lucene BooleanQuery occur flag — MUST (True) vs SHOULD
+    (False).  Plain and/or queries mark every group required; only the
+    boolean mode (``plan_query(should=...)``) creates optional groups.
     """
 
     key: int                    # min(term_id) over present members
     idf: float                  # idf(N, df) with df = max member df
     df: int
     member_ids: tuple[int, ...]  # present members' term_ids
+    required: bool = True
 
 
 @dataclass
@@ -87,6 +92,10 @@ class QueryPlan:
     def expanded(self) -> bool:
         return any(len(g.member_ids) > 1 for g in self.groups)
 
+    @property
+    def n_required(self) -> int:
+        return sum(1 for g in self.groups if g.required)
+
 
 def idf(n_docs: int, df: int) -> float:
     return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
@@ -99,17 +108,27 @@ def plan_query(
     stats_row=None,
     expansions: dict[str, list[str]] | None = None,
     vocab_lookup: VocabLookup | None = None,
+    should: str = "",
 ) -> QueryPlan:
+    """``should``: optional SHOULD-clause terms (Lucene BooleanQuery):
+    their groups are marked ``required=False`` — they contribute to scores
+    but not to the conjunction requirement.  A term appearing in both
+    ``query`` and ``should`` is MUST (the stricter occur wins, matching
+    Lucene's clause-merge behavior).  An absent SHOULD group is silently
+    ignored (it never increments ``n_absent``)."""
     distinct = sorted(set(tokenize(query)))
+    should_distinct = sorted(set(tokenize(should)) - set(distinct))
     st = stats_row if stats_row is not None else stats_table.first()
     n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
-    if not distinct:
+    if not distinct and not should_distinct:
         return QueryPlan([], [], [], [], 0, n_docs, avgdl)
     # group member sets: base term ∪ its expansions (expansion terms go
     # through the same frozen tokenizer rule so a multi-token synonym is
     # rejected loudly rather than silently mis-tokenized)
-    groups_members: list[list[str]] = []
-    for t in distinct:
+    groups_members: list[tuple[list[str], bool]] = []
+    for t, req in [(t, True) for t in distinct] + [
+        (t, False) for t in should_distinct
+    ]:
         members = [t]
         for syn in (expansions or {}).get(t, []):
             toks = tokenize(syn)
@@ -119,9 +138,9 @@ def plan_query(
                 )
             if toks[0] not in members:
                 members.append(toks[0])
-        groups_members.append(members)
+        groups_members.append((members, req))
 
-    lookup_terms = sorted({m for ms in groups_members for m in ms})
+    lookup_terms = sorted({m for ms, _ in groups_members for m in ms})
     if vocab_lookup is not None:
         found = vocab_lookup(lookup_terms)
     else:
@@ -134,15 +153,18 @@ def plan_query(
 
     groups: list[TermGroup] = []
     n_absent = 0
-    for members in groups_members:
+    for members, req in groups_members:
         present = [m for m in members if m in found]
         if not present:
-            n_absent += 1
+            # an absent SHOULD group is a no-op (Lucene: an optional clause
+            # matching nothing neither filters nor scores); an absent MUST
+            # group drives the empty_and early exit
+            n_absent += 1 if req else 0
             continue
         ids = tuple(sorted(found[m][0] for m in present))
         gdf = max(found[m][1] for m in present)
         groups.append(TermGroup(key=ids[0], idf=idf(n_docs, gdf), df=gdf,
-                                member_ids=ids))
+                                member_ids=ids, required=req))
     # a term occurring in two groups would be scored twice with ambiguous
     # group stats — reject loudly (the reference's expansion sets are
     # disjoint by construction, ResiduePairOccurrence.java:166-227)

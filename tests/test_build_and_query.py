@@ -369,3 +369,92 @@ def test_prefix_search_composes_with_exclude(built):
     ]
     assert [d for d, _ in got] == [d for d, _ in expected]
     assert [s for _, s in got] == [s for _, s in expected]
+
+
+# ---------------------------------------------------------------------------
+# Boolean MUST/SHOULD/MUST_NOT queries (Lucene BooleanQuery analogue)
+# ---------------------------------------------------------------------------
+
+BOOL_CASES = [
+    ("v_00001", "import return"),          # rare MUST, head SHOULD boosts
+    ("import", "v_00001 v_00002"),         # head MUST, mid SHOULD
+    ("v_00001 v_00002", "import"),         # two MUST clauses
+    ("import", "zz_absent_token"),         # absent SHOULD = plain query
+    ("import", "import def"),              # MUST term repeated in SHOULD
+    ("", "v_00001 v_00002"),               # no MUST -> pure disjunction
+]
+
+
+@pytest.mark.parametrize("must,should", BOOL_CASES)
+def test_bool_rank_identical_daat(built, spark, must, should):
+    engine, oracle, _ = built
+    expected = bm25_topk(oracle, must, k=10, should=should)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(
+            must, k=10, with_meta=False, should=should
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    assert [s for _, s in got] == [s for _, s in expected]
+
+
+def test_bool_absent_must_is_empty(built):
+    engine, _, _ = built
+    assert engine.search(
+        "zz_absent_token", k=10, with_meta=False, should="import"
+    ).count() == 0
+
+
+def test_bool_should_only_scores_never_filters(built):
+    """Every bool hit contains all MUST terms; the SHOULD term changes
+    scores/ranking but the qualifying doc set equals the plain AND set."""
+    engine, oracle, _ = built
+    big = engine.search(
+        "v_00001 v_00002", k=10_000, with_meta=False, should="import"
+    ).collect()
+    and_set = {
+        r["doc_id"]
+        for r in engine.search(
+            "v_00001 v_00002", k=10_000, mode="and", with_meta=False
+        ).collect()
+    }
+    assert {r["doc_id"] for r in big} == and_set
+    # and the bool scores are >= the plain AND scores (SHOULD only adds)
+    and_scores = {
+        d: s for d, s in bm25_topk(oracle, "v_00001 v_00002", k=10_000,
+                                   mode="and")
+    }
+    for r in big:
+        assert r["score"] >= and_scores[r["doc_id"]] - 1e-12
+
+
+def test_bool_composes_with_exclude(built):
+    engine, oracle, _ = built
+    expected = bm25_topk(
+        oracle, "import", k=10, should="v_00001", exclude="def"
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(
+            "import", k=10, with_meta=False, should="v_00001", exclude="def"
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    assert [s for _, s in got] == [s for _, s in expected]
+
+
+def test_bool_with_shard_pruning(built):
+    """Bool mode through the 2-phase shard-pruned plan must equal the
+    unpruned plan (shards lacking a MUST group are skipped)."""
+    engine, oracle, _ = built
+    pruned = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(
+            "v_00001", k=10, with_meta=False, should="import",
+            prune_shards=True,
+        ).collect()
+    ]
+    expected = bm25_topk(oracle, "v_00001", k=10, should="import")
+    assert [d for d, _ in pruned] == [d for d, _ in expected]
+    assert [s for _, s in pruned] == [s for _, s in expected]
