@@ -300,11 +300,14 @@ def _bm25_expanded_sql(
     k: int,
     mode: str,
     prefix_groups: dict[str, str] | None = None,
+    lev_groups: dict[str, tuple[str, int]] | None = None,
 ) -> str:
     """``prefix_groups`` (gkey -> LIKE prefix): wildcard groups whose member
     set is DERIVED from the corpus vocabulary in SQL (term LIKE 'p%') — the
     replay of the engine's prefix_search expansion, where the terms table IS
-    the corpus vocabulary."""
+    the corpus vocabulary.  ``lev_groups`` (gkey -> (base, max_dist)): fuzzy
+    groups derived the same way via levenshtein(term, base) <= max_dist —
+    the replay of fuzzy_search's JVM-side vocabulary probe."""
     pairs = []
     for base, syns in sorted(expansions.items()):
         for m in sorted({base, *syns}):
@@ -317,8 +320,15 @@ def _bm25_expanded_sql(
             f"SELECT DISTINCT term, '{gkey}' FROM tdf "
             f"WHERE term LIKE '{prefix}%'"
         )
+    for gkey, (base, dist) in sorted((lev_groups or {}).items()):
+        grp_parts.append(
+            f"SELECT DISTINCT term, '{gkey}' FROM tdf "
+            f"WHERE levenshtein(term, '{base}') <= {dist}"
+        )
     grp_body = "\nUNION ALL\n".join(grp_parts)
-    n_groups = len(expansions) + len(prefix_groups or {})
+    n_groups = (
+        len(expansions) + len(prefix_groups or {}) + len(lev_groups or {})
+    )
     and_filter = f"HAVING count(*) = {n_groups}" if mode == "and" else ""
     return f"""
 WITH tok AS (
@@ -702,6 +712,56 @@ def _q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = eng.prefix_search("s* table", k=10, mode="or", with_meta=True)
     return _orig_doc_id(hits).select(
         "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy query: 'customer~' expands to every vocabulary term within
+    Levenshtein distance 1, scored as one blended group (Lucene FuzzyQuery
+    rewrite); 'stream' is a plain singleton group."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.fuzzy_search(
+        "customer~ stream", k=10, mode="or", max_dist=1,
+        max_expansions=128, with_meta=True,
+    )
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood top-k (mu=2000) — the second ranking
+    model over the same index artifacts (query/ql.py)."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.ql_search("customer table", k=10, with_meta=True)
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_near_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered proximity NEAR/8: all docs where 'customer' and 'table'
+    co-occur within 8 token positions, with the minimal cover span."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.near_search("customer table", window=8, k=1_000_000)
+    withmeta = F.broadcast(hits).join(
+        eng.doc_map.select("doc_id", "path"), on="doc_id"
+    )
+    return withmeta.select(
+        F.col("path").cast("long").alias("doc_id"), "span"
+    )
+
+
+def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 with keyword-in-context snippets: the 2*ctx+1-token
+    window centred on the first occurrence of any query term."""
+    eng = _engine(spark, sf_dir)
+    corpus = _as_corpus(_docs(spark, sf_dir))
+    res = eng.snippet_search("customer table", corpus, k=10, ctx=3)
+    return res.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "snippet",
     )
 
 
@@ -1305,6 +1365,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_bm25_not": _q_bm25_not,
             "ii_bm25_prefix": _q_bm25_prefix,
             "ii_bm25_bool": _q_bm25_bool,
+            "ii_bm25_fuzzy": _q_bm25_fuzzy,
+            "ii_ql_topk": _q_ql_topk,
+            "ii_near_pair": _q_near_pair,
+            "ii_snippets": _q_snippets,
             "sim_cosine_topk": _q_cosine_topk,
             "sim_embedding_near_dup": _q_embedding_near_dup,
             "sim_lsh_topk": _q_lsh_topk,
@@ -1359,6 +1423,103 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
     sql["ii_bm25_prefix"] = _bm25_expanded_sql(
         {"table": []}, 10, "or", prefix_groups={"s*": "s"}
     )
+    sql["ii_bm25_fuzzy"] = _bm25_expanded_sql(
+        {"stream": []}, 10, "or", lev_groups={"customer~": ("customer", 1)}
+    )
+    # Dirichlet query likelihood (query/ql.py): candidates = docs matching
+    # >=1 present query term; unmatched terms contribute smoothing mass;
+    # absent-from-vocabulary terms drop out via the qv JOIN
+    sql["ii_ql_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+cl AS (SELECT sum(dl) AS c FROM dl),
+tcf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+q(term) AS (VALUES ('customer'),('table')),
+qv AS (SELECT q.term, tcf.cf FROM q JOIN tcf ON q.term = tcf.term),
+cand AS (SELECT DISTINCT tf.doc_id FROM tf JOIN qv ON tf.term = qv.term),
+contrib AS (
+  SELECT cand.doc_id,
+         ln(coalesce(tf.tf, 0) + 2000.0 * qv.cf / cl.c)
+           - ln(dl.dl + 2000.0) AS s
+  FROM cand
+  CROSS JOIN qv
+  LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = qv.term
+  JOIN dl ON dl.doc_id = cand.doc_id
+  CROSS JOIN cl
+)
+SELECT doc_id, round(sum(s), 4) AS score FROM contrib GROUP BY doc_id
+ORDER BY sum(s) DESC, doc_id ASC LIMIT 10
+"""
+    # proximity NEAR/8 (query/phrase.py near_topk): minimal max-min position
+    # cover over one occurrence of each distinct term, <= window
+    sql["ii_near_pair"] = f"""
+WITH tokarr AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(1, len(toks))) AS i
+  FROM tokarr
+),
+p1 AS (SELECT doc_id, i FROM pos WHERE term = 'customer'),
+p2 AS (SELECT doc_id, i FROM pos WHERE term = 'table'),
+spans AS (
+  SELECT p1.doc_id, min(abs(p1.i - p2.i))::BIGINT AS span
+  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+  GROUP BY p1.doc_id
+)
+SELECT doc_id, span FROM spans WHERE span <= 8
+"""
+    # snippets: BM25 top-10 + the 7-token window centred on the first
+    # occurrence of any query term (engine snippet_search, ctx=3)
+    sql["ii_snippets"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+q(term) AS (VALUES ('customer'),('table')),
+qdf AS (
+  SELECT q.term,
+         (SELECT count(*) FROM tf WHERE tf.term = q.term)::DOUBLE AS df
+  FROM q
+),
+contrib AS (
+  SELECT tf.doc_id,
+         ln((st.n - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN qdf ON tf.term = qdf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+),
+topk AS (
+  SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id
+  ORDER BY s DESC, doc_id ASC LIMIT 10
+),
+snip AS (
+  SELECT t.doc_id, t.s, regexp_extract_all(d.text, '{TOKEN_PATTERN}') AS toks
+  FROM topk t JOIN documents d ON t.doc_id = d.doc_id
+),
+anchored AS (
+  SELECT doc_id, s, toks,
+         greatest(1, least(
+           nullif(list_position(toks, 'customer'), 0),
+           nullif(list_position(toks, 'table'), 0)
+         ) - 3) AS st
+  FROM snip
+)
+SELECT doc_id, round(s, 4) AS score,
+       array_to_string(toks[st:st+6], ' ') AS snippet
+FROM anchored
+"""
     sql["ii_phrase_count"] = f"""
 WITH tokarr AS (
   SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks

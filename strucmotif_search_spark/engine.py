@@ -267,6 +267,187 @@ class SearchEngine:
             expansions=expansions or None, **kw,
         )
 
+    def fuzzy_search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        max_dist: int = 1,
+        max_expansions: int = 64,
+        **kw,
+    ) -> DataFrame:
+        """Fuzzy query: each token ending in ``~`` expands to ALL vocabulary
+        terms within Levenshtein distance ``max_dist`` of it, scored as ONE
+        expansion group (tf = sum of member tfs, df = max member df) — the
+        Lucene FuzzyQuery → blended SynonymQuery rewrite, reusing the A4
+        expansion machinery (the reference's tolerance expansion,
+        ResiduePairOccurrence.java:166-227, where one query term admits a
+        neighborhood of compatible index terms).
+
+        The vocabulary probe stays JVM-side: a pushed-down
+        ``length(term) BETWEEN len±d`` range pre-filter (parquet min/max
+        pruning on the dictionary-sized terms table) followed by the
+        built-in ``levenshtein`` expression — no Python UDF, no collect of
+        the vocabulary.  More than ``max_expansions`` matches raises (the
+        Lucene maxExpansions guard): a 1-character fuzzy token over a
+        web-scale vocabulary is a query-cost bomb the engine refuses rather
+        than silently truncates.  A fuzzy token with NO vocabulary match
+        within distance contributes an absent group (ignored under OR,
+        empties the result under AND).
+        """
+        from .oracle import tokenize
+
+        base_tokens: list[str] = []
+        expansions: dict[str, list[str]] = {}
+        for raw in query.split():
+            if not (raw.endswith("~") and len(raw) > 1):
+                base_tokens.append(raw)
+                continue
+            base = raw[:-1]
+            toks = tokenize(base)
+            if len(toks) != 1 or toks[0] != base:
+                raise ValueError(f"invalid fuzzy token {raw!r}")
+            rows = (
+                self.terms.where(
+                    F.length("term").between(
+                        len(base) - max_dist, len(base) + max_dist
+                    )
+                )
+                .where(F.levenshtein(F.col("term"), F.lit(base)) <= max_dist)
+                .select("term")
+                .orderBy("term")
+                .limit(max_expansions + 1)
+                .collect()
+            )
+            members = [r["term"] for r in rows]
+            if len(members) > max_expansions:
+                raise ValueError(
+                    f"{raw!r} expands to more than {max_expansions} terms"
+                )
+            if not members:
+                base_tokens.append(base)  # absent group
+                continue
+            base_tokens.append(members[0])
+            if members[1:]:
+                expansions.setdefault(members[0], []).extend(members[1:])
+        return self.search(
+            " ".join(base_tokens), k=k, mode=mode,
+            expansions=expansions or None, **kw,
+        )
+
+    def ql_search(
+        self,
+        query: str,
+        k: int = 10,
+        mu: float | None = None,
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """Top-k under Dirichlet-smoothed query likelihood (query/ql.py) —
+        the second ranking model over the same index artifacts (the
+        reference's alternative ScoringFunction).  Candidates are docs
+        matching >=1 query term; absent-from-vocabulary terms are dropped
+        (vocabulary gate, same as the BM25 planner).  Rides the identical
+        pushed-down posting scan + bucketed-norms cogroup as BM25 — no new
+        index artifact, no extra shuffle."""
+        from .oracle import tokenize
+        from .query.ql import QL_MU, ql_topk
+
+        distinct = sorted(set(tokenize(query)))
+        found = self._vocab_lookup(distinct)
+        present = sorted(found)  # drop absent terms
+        term_cfs: list[tuple[int, int]] = []
+        if present:
+            # cf is not in the vocab cache (planner only needs df) — one
+            # tiny pushed-down terms scan per query's novel terms
+            rows = (
+                self.terms.where(F.col("term").isin(present))
+                .select("term_id", "cf")
+                .collect()
+            )
+            term_cfs = sorted((int(r["term_id"]), int(r["cf"])) for r in rows)
+        hits = ql_topk(
+            self.spark,
+            self.postings,
+            self.norms,
+            term_cfs,
+            coll_len=int(self._stats_row["sum_doclen"]),
+            docs_per_shard=self.meta["docs_per_shard"],
+            k=k,
+            mu=QL_MU if mu is None else mu,
+        )
+        return self._materialize(hits, k) if with_meta else hits
+
+    def near_search(self, query: str, window: int, k: int = 10) -> DataFrame:
+        """Unordered proximity query (NEAR/w): docs where all distinct query
+        terms co-occur within ``window`` positions, ranked by tightest
+        minimal cover span (query/phrase.py near_topk).  Requires a
+        positional index, like phrase_search."""
+        if not self.meta.get("with_positions"):
+            raise ValueError(
+                "near_search requires a positional index "
+                "(build_index(..., with_positions=True))"
+            )
+        from .query.phrase import near_topk
+
+        return near_topk(
+            self.spark, self.postings, self.terms, query, window, k=k
+        )
+
+    def snippet_search(
+        self,
+        query: str,
+        corpus: DataFrame,
+        k: int = 10,
+        mode: str = "or",
+        ctx: int = 3,
+        **kw,
+    ) -> DataFrame:
+        """BM25 top-k with a deterministic keyword-in-context snippet per
+        hit: the window of ``2*ctx + 1`` tokens centred on the FIRST
+        occurrence (lowest token position) of any query term in the doc.
+
+        ``corpus`` is the original (repo, path, commit, lang, content)
+        DataFrame — the index stores no document text (late materialization,
+        TargetStructure.java:24-27: the reference likewise re-reads source
+        structures only for the <=k aligned candidates).  The <=k hit rows
+        are broadcast against the corpus scan, and the snippet itself is
+        pure Catalyst (regexp_extract_all / array_position / slice — no
+        Python UDF), so the corpus-side work is one projected scan with the
+        join filter pushed to it.  Tokens (not raw character offsets) define
+        the window: the canonical, oracle-replayable form.
+        """
+        plan = self.plan(query)
+        hits = self.search(query, k=k, mode=mode, with_meta=False, **kw)
+        with_key = F.broadcast(hits).join(
+            self.doc_map.select("doc_id", "repo", "path", "commit"),
+            on="doc_id",
+        )
+        joined = with_key.join(
+            corpus.select("repo", "path", "commit", "content"),
+            on=["repo", "path", "commit"],
+        )
+        from . import TOKEN_PATTERN
+
+        toks = F.regexp_extract_all(F.col("content"), F.lit(TOKEN_PATTERN), 0)
+        # first occurrence of ANY query term: least() skips NULLs (absent
+        # terms) in both Spark and DuckDB — order-independent anchor rule
+        anchor = F.least(
+            *[
+                F.nullif(F.array_position(toks, F.lit(t)), F.lit(0))
+                for t in sorted(plan.terms)
+            ]
+        ) if plan.terms else F.lit(1)
+        start = F.greatest(F.lit(1), (anchor - ctx).cast("int"))
+        snippet = F.array_join(F.slice(toks, start, 2 * ctx + 1), " ")
+        return (
+            joined.select(
+                "doc_id", "repo", "path", "commit", "score",
+                snippet.alias("snippet"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_naive(
         self,
         query: str,

@@ -185,3 +185,71 @@ def bm25_topk(
         scores = {d: s for d, s in scores.items() if d not in excl_docs}
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]
+
+
+def ql_topk(
+    index: OracleIndex, query: str, k: int = 10, mu: float = 2000.0
+) -> list[tuple[int, float]]:
+    """Dirichlet query-likelihood oracle (query/ql.py contract): candidates
+    = docs matching >=1 present query term; absent terms dropped; score =
+    sum_t ln((tf + mu*cf_t/C) / (dl + mu)) in ascending-term order (the
+    engine sums in ascending term_id == ascending first-seen order; for
+    bitwise equality tests build corpora where term_id order == sorted-term
+    order, which the builder's sorted dictionary mint guarantees)."""
+    terms = sorted(
+        t for t in set(tokenize(query)) if t in index.postings
+    )
+    if not terms:
+        return []
+    coll_len = float(index.doclens.sum())
+    cand_set: set[int] = set()
+    for t in terms:
+        cand_set.update(int(d) for d in index.postings[t][0].tolist())
+    cand = np.fromiter(sorted(cand_set), dtype=np.int64, count=len(cand_set))
+    rows = np.searchsorted(index.doc_ids, cand)
+    dl = index.doclens[rows].astype(np.float64)
+    # numpy ops in the engine kernel's exact decomposition and order
+    # (np.log(tf + smooth) - np.log(dl + mu), term-ascending accumulation):
+    # np.log and math.log differ in the last ulp, so bitwise equality
+    # requires replaying the SAME vectorized primitives, not just the math
+    log_denom = np.log(dl + mu)
+    score = np.zeros(cand.size, dtype=np.float64)
+    for t in terms:
+        ds, tfs = index.postings[t]
+        j = np.searchsorted(ds, cand)
+        hit = (j < ds.size) & (ds[np.minimum(j, ds.size - 1)] == cand)
+        tf = np.where(hit, tfs[np.minimum(j, ds.size - 1)], 0).astype(
+            np.float64
+        )
+        score += np.log(tf + mu * (index.cf[t] / coll_len)) - log_denom
+    out = list(zip(cand.tolist(), score.tolist()))
+    out.sort(key=lambda kv: (-kv[1], kv[0]))
+    return out[:k]
+
+
+def near_spans(
+    texts: dict[int, str], query: str, window: int
+) -> list[tuple[int, int]]:
+    """Proximity oracle (query/phrase.py near_topk contract): for each doc
+    containing ALL distinct query terms, the minimal max-min position span
+    covering one occurrence of each; emit (doc_id, span) for span <= window,
+    ordered span asc then doc_id asc.  Brute force over all position
+    combinations — O(prod tf) per doc, test corpora only."""
+    from itertools import product
+
+    terms = sorted(set(tokenize(query)))
+    out = []
+    for d in sorted(texts):
+        toks = tokenize(texts[d])
+        plists = [
+            [i for i, w in enumerate(toks) if w == t] for t in terms
+        ]
+        if any(not p for p in plists):
+            continue
+        best = min(
+            max(combo) - min(combo) for combo in product(*plists)
+        )
+        if best <= window:
+            out.append((d, best))
+    out.sort(key=lambda kv: (kv[1], kv[0]))
+    return out

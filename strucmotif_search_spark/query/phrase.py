@@ -184,3 +184,175 @@ def phrase_topk(
 
     scored = blocks.groupBy("shard").applyInPandas(score_shard, schema=_RESULT)
     return scored.orderBy(F.desc("phrase_tf"), F.asc("doc_id")).limit(k)
+
+
+_NEAR_RESULT = "doc_id long, span long"
+
+
+def _empty_near() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": [], "span": []}).astype(
+        {"doc_id": "int64", "span": "int64"}
+    )
+
+
+def near_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    terms_table: DataFrame,
+    query: str,
+    window: int,
+    k: int = 10,
+) -> DataFrame:
+    """Unordered proximity (NEAR/w) query: top-k docs where ALL distinct
+    query terms co-occur within a window of ``window`` token positions,
+    ranked by tightest window (``span`` = minimal max-min position cover,
+    ascending; ties -> ascending doc_id).
+
+    The reference's positional theta-join generalized from exact adjacency
+    (phrase) to a tolerance window — precisely its Overlap classification
+    relaxation (domain/motif/Overlap.java:41-81, where candidate pairs match
+    under a positional tolerance rather than equality).  Lucene analogue:
+    unordered SpanNearQuery / intervals.
+
+    Execution per shard (cogroup task) reuses the phrase kernel's two-phase
+    shape: (1) doc-id narrowing rarest-term-first with posting-block skip
+    pointers — only blocks whose [first_doc_id, max_doc_id] range can still
+    contain a surviving candidate are payload-decoded; (2) positional
+    minimal-cover-window over survivors only: per doc, the classic sorted
+    two-pointer sweep over the merged (position, term) stream — O(P) per doc
+    after an O(P log P) sort, P = total positions of the query terms in that
+    doc.  Each shard emits its local top-k; the global
+    ``orderBy(span asc, doc_id asc).limit(k)`` is Catalyst's
+    TakeOrderedAndProject heap merge.
+    """
+    seq = sorted(set(tokenize(query)))
+    if not seq or window < 0:
+        return spark.createDataFrame([], _NEAR_RESULT)
+    lookup = {
+        r["term"]: (int(r["term_id"]), int(r["df"]))
+        for r in terms_table.where(F.col("term").isin(seq))
+        .select("term", "term_id", "df")
+        .collect()
+    }
+    if any(t not in lookup for t in seq):  # absent term -> empty conjunction
+        return spark.createDataFrame([], _NEAR_RESULT)
+    # narrowing order: df ascending (rarest first), term_id tie-break
+    order_tids = [
+        tid for tid, _df in sorted(lookup.values(), key=lambda p: (p[1], p[0]))
+    ]
+    n_terms = len(order_tids)
+
+    blocks = postings.where(
+        F.col("term_id").isin(sorted(order_tids))
+    ).select(
+        "shard", "term_id", "first_doc_id", "max_doc_id",
+        "doc_gaps", "tfs", "pos_data",
+    )
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_tid = {int(t): g for t, g in pdf.groupby("term_id", sort=False)}
+        if any(tid not in by_tid for tid in order_tids):
+            return _empty_near()
+
+        # --- phase 1: doc-id narrowing (identical shape to phrase_topk) ---
+        cand: np.ndarray | None = None
+        kept: dict[int, list] = {}
+        for tid in order_tids:
+            g = by_tid[tid].sort_values("first_doc_id")
+            rows_kept: list = []
+            docs_l: list = []
+            for row in g.itertuples(index=False):
+                if cand is not None:
+                    j = int(np.searchsorted(cand, row.first_doc_id))
+                    if j >= cand.size or cand[j] > row.max_doc_id:
+                        continue
+                ids, tfs = unpack_block(bytes(row.doc_gaps), bytes(row.tfs))
+                if cand is not None:
+                    m = np.isin(ids, cand, assume_unique=True)
+                    if not m.any():
+                        continue
+                    docs_l.append(ids[m])
+                else:
+                    docs_l.append(ids)
+                rows_kept.append((ids, tfs, row.pos_data))
+            if not docs_l:
+                return _empty_near()
+            term_docs = np.concatenate(docs_l)
+            cand = (
+                term_docs if cand is None
+                else cand[np.isin(cand, term_docs, assume_unique=True)]
+            )
+            if cand.size == 0:
+                return _empty_near()
+            kept[tid] = rows_kept
+
+        # --- phase 2: merged (doc, pos, term-tag) stream over survivors ---
+        doc_parts: list = []
+        pos_parts: list = []
+        tag_parts: list = []
+        for ti, tid in enumerate(order_tids):
+            for ids, tfs, pos_bytes in kept[tid]:
+                m = np.isin(ids, cand, assume_unique=True)
+                sel = np.flatnonzero(m)
+                if sel.size == 0:
+                    continue
+                plists = unpack_positions(bytes(pos_bytes), tfs)
+                doc_parts.append(np.repeat(ids[sel], tfs[sel]))
+                pos_parts.append(np.concatenate([plists[j] for j in sel]))
+                tag_parts.append(
+                    np.full(int(tfs[sel].sum()), ti, dtype=np.int64)
+                )
+        docs = np.concatenate(doc_parts)
+        pos = np.concatenate(pos_parts)
+        tags = np.concatenate(tag_parts)
+        order = np.lexsort((pos, docs))
+        docs, pos, tags = docs[order], pos[order], tags[order]
+        bounds = np.flatnonzero(np.diff(docs)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [docs.size]))
+
+        out_docs: list[int] = []
+        out_spans: list[int] = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            p = pos[s:e]
+            t = tags[s:e]
+            # two-pointer minimal cover: window [lo, hi] over the sorted
+            # position stream; shrink lo while all n_terms tags covered
+            counts = np.zeros(n_terms, dtype=np.int64)
+            covered = 0
+            best = -1
+            lo = 0
+            for hi in range(p.size):
+                th = int(t[hi])
+                counts[th] += 1
+                if counts[th] == 1:
+                    covered += 1
+                while covered == n_terms:
+                    span = int(p[hi] - p[lo])
+                    if best < 0 or span < best:
+                        best = span
+                    tl = int(t[lo])
+                    counts[tl] -= 1
+                    if counts[tl] == 0:
+                        covered -= 1
+                    lo += 1
+            if 0 <= best <= window:
+                out_docs.append(int(docs[s]))
+                out_spans.append(best)
+        if not out_docs:
+            return _empty_near()
+        d = np.asarray(out_docs, dtype=np.int64)
+        sp = np.asarray(out_spans, dtype=np.int64)
+        # per-shard top-k with boundary-tie retention (span asc, doc asc)
+        if d.size > k:
+            part = np.argpartition(sp, k - 1)
+            thresh = sp[part[k - 1]]
+            keep = np.flatnonzero(sp <= thresh)
+            d, sp = d[keep], sp[keep]
+        o = np.lexsort((d, sp))[:k]
+        return pd.DataFrame({"doc_id": d[o], "span": sp[o]})
+
+    scored = blocks.groupBy("shard").applyInPandas(
+        score_shard, schema=_NEAR_RESULT
+    )
+    return scored.orderBy(F.asc("span"), F.asc("doc_id")).limit(k)

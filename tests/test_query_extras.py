@@ -1,0 +1,224 @@
+"""Fuzzy expansion, Dirichlet QL, proximity NEAR, and snippet queries —
+each checked against an independent brute-force oracle (the reference's
+golden-fixture strategy, core/StructureIntegrationTest.java)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from strucmotif_search_spark import TOKEN_PATTERN
+from strucmotif_search_spark.build import IndexStore, build_index
+from strucmotif_search_spark.engine import SearchEngine
+from strucmotif_search_spark.oracle import (
+    bm25_topk,
+    build_oracle,
+    near_spans,
+    ql_topk,
+    tokenize,
+)
+
+TOK = re.compile(TOKEN_PATTERN)
+
+DOCS = [
+    ("r", "p0", "c0", "py", "table tables tabled stable query plan"),
+    ("r", "p1", "c1", "py", "the query planner builds a table scan"),
+    ("r", "p2", "c2", "py", "stream batch filter stream stream table"),
+    ("r", "p3", "c3", "py", "fable cable able tale tablet"),
+    ("r", "p4", "c4", "py", "query query query nothing else here"),
+    ("r", "p5", "c5", "py", "a b c d e f g table h i j query"),
+    ("r", "p6", "c6", "py", "table immediately query adjacent pair"),
+    ("r", "p7", "c7", "py", "completely unrelated words only"),
+    ("r", "p8", "c8", "py", "query far far far far far far table"),
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    store = IndexStore(tmp_path_factory.mktemp("qx"))
+    docs = spark.createDataFrame(
+        DOCS,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    build_index(
+        spark, docs, store, docs_per_shard=4, shards_per_chunk=1 << 20,
+        checkpoint_partials=False, with_positions=True,
+    )
+    return SearchEngine(spark, store)
+
+
+def _ids_and_texts(engine):
+    dm = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in engine.doc_map.collect()
+    }
+    return {dm[(r, p, c)]: t for (r, p, c, _l, t) in DOCS}
+
+
+def _oracle(engine):
+    texts = _ids_and_texts(engine)
+    ids = sorted(texts)
+    return build_oracle(ids, [texts[d] for d in ids]), texts
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+# ---------------------------------------------------------------------------
+# fuzzy
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_expands_to_lev_neighborhood(engine):
+    """table~ must score exactly like an explicit expansion group over every
+    vocab term within Levenshtein 1 of 'table'."""
+    idx, _ = _oracle(engine)
+    vocab = sorted(idx.postings)
+    members = [t for t in vocab if _lev(t, "table") <= 1]
+    assert "table" in members and len(members) > 2  # fixture sanity
+    expected = bm25_topk(
+        idx, members[0], k=100,
+        expansions={members[0]: members[1:]},
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.fuzzy_search(
+            "table~", k=100, with_meta=False
+        ).collect()
+    ]
+    assert got == expected
+
+
+def test_fuzzy_mixes_plain_terms(engine):
+    idx, _ = _oracle(engine)
+    vocab = sorted(idx.postings)
+    members = [t for t in vocab if _lev(t, "stream") <= 1]
+    expected = bm25_topk(
+        idx, f"{members[0]} query", k=100,
+        expansions={members[0]: members[1:]},
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.fuzzy_search(
+            "stream~ query", k=100, with_meta=False
+        ).collect()
+    ]
+    assert got == expected
+
+
+def test_fuzzy_no_match_is_absent_group(engine):
+    # nothing within distance 1 of this token -> OR ignores, AND empties
+    assert (
+        engine.fuzzy_search(
+            "zzqqzz~ query", k=10, mode="and", with_meta=False
+        ).count()
+        == 0
+    )
+    or_hits = engine.fuzzy_search(
+        "zzqqzz~ query", k=10, mode="or", with_meta=False
+    ).count()
+    assert or_hits > 0
+
+
+def test_fuzzy_expansion_cap_raises(engine):
+    with pytest.raises(ValueError, match="expands to more than"):
+        engine.fuzzy_search("table~", k=5, max_expansions=1)
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet query likelihood
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("query", ["table query", "stream", "the table scan"])
+def test_ql_bitwise_vs_oracle(engine, query):
+    idx, _ = _oracle(engine)
+    expected = ql_topk(idx, query, k=100)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.ql_search(query, k=100, with_meta=False).collect()
+    ]
+    assert got == expected  # float64 bitwise: same decomposition + order
+
+
+def test_ql_drops_absent_terms(engine):
+    idx, _ = _oracle(engine)
+    assert ql_topk(idx, "zz_nope table", k=10) == ql_topk(idx, "table", k=10)
+    a = [
+        (r["doc_id"], r["score"])
+        for r in engine.ql_search(
+            "zz_nope table", k=10, with_meta=False
+        ).collect()
+    ]
+    b = [
+        (r["doc_id"], r["score"])
+        for r in engine.ql_search("table", k=10, with_meta=False).collect()
+    ]
+    assert a == b and len(a) > 0
+
+
+def test_ql_all_absent_empty(engine):
+    assert engine.ql_search("zz_nope", k=10, with_meta=False).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# proximity NEAR
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("window", [1, 2, 6, 100])
+def test_near_matches_bruteforce(engine, window):
+    texts = _ids_and_texts(engine)
+    expected = near_spans(texts, "table query", window)
+    got = [
+        (r["doc_id"], r["span"])
+        for r in engine.near_search("table query", window, k=100).collect()
+    ]
+    assert got == expected
+
+
+def test_near_three_terms(engine):
+    texts = _ids_and_texts(engine)
+    q = "stream batch filter"
+    expected = near_spans(texts, q, 4)
+    got = [
+        (r["doc_id"], r["span"])
+        for r in engine.near_search(q, 4, k=100).collect()
+    ]
+    assert got == expected
+    assert len(expected) > 0  # fixture sanity: doc p2 matches
+
+
+def test_near_absent_term_empty(engine):
+    assert engine.near_search("table zz_nope", 100, k=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# snippets
+# ---------------------------------------------------------------------------
+
+def test_snippet_window_rule(engine, spark):
+    corpus = spark.createDataFrame(
+        DOCS,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    texts = _ids_and_texts(engine)
+    idx, _ = _oracle(engine)
+    ctx = 2
+    rows = engine.snippet_search(
+        "query table", corpus, k=100, ctx=ctx
+    ).collect()
+    expected_rank = bm25_topk(idx, "query table", k=100)
+    assert [(r["doc_id"], r["score"]) for r in rows] == expected_rank
+    qterms = set(tokenize("query table"))
+    for r in rows:
+        toks = TOK.findall(texts[r["doc_id"]])
+        first = min(i for i, w in enumerate(toks) if w in qterms)
+        lo = max(0, first - ctx)
+        assert r["snippet"] == " ".join(toks[lo: lo + 2 * ctx + 1])
