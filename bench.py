@@ -1083,6 +1083,44 @@ def main() -> None:
     queries["q12_phrase"] = round(best, 3)
     log(f"[bench] q12_phrase: {best*1000:.0f} ms")
 
+    # ---- round-3 query-operator rows over the same engines ----
+    # q15: unordered proximity NEAR/8 over the positional index — the
+    # phrase kernel's narrowing + minimal-cover sweep on two mid terms
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        pos_engine.near_search("v_00050 v_00100", window=8, k=10).collect()
+        best = min(best, time.time() - t0)
+    queries["q15_near"] = round(best, 3)
+    # q16: Dirichlet query-likelihood ranking (second scorer, same scan)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        engine.ql_search("window merge", k=10, with_meta=False).collect()
+        best = min(best, time.time() - t0)
+    queries["q16_ql"] = round(best, 3)
+    # q17: fuzzy expansion — levenshtein vocab probe + blended group scoring
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        engine.fuzzy_search(
+            "v_00050~ merge", k=10, max_expansions=256, with_meta=False
+        ).collect()
+        best = min(best, time.time() - t0)
+    queries["q17_fuzzy"] = round(best, 3)
+    # q18: snippets — BM25 top-10 + broadcast corpus join + Catalyst KWIC
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        engine.snippet_search("window merge", corpus, k=10).collect()
+        best = min(best, time.time() - t0)
+    queries["q18_snippets"] = round(best, 3)
+    log(
+        f"[bench] q15_near {queries['q15_near']}s  q16_ql "
+        f"{queries['q16_ql']}s  q17_fuzzy {queries['q17_fuzzy']}s  "
+        f"q18_snippets {queries['q18_snippets']}s"
+    )
+
     # ---- incremental ADD -> query on refs-gen -> compact -> query ----
     # proves compaction restores the exchange-free plan (PLANS.md §11) and
     # prices the query-time exchange an uncompacted incremental gen pays
