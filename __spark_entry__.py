@@ -765,6 +765,44 @@ def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MLT_PROBE = "customer customer customer stream stream join the the the the"
+
+
+def _q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete: top-10 vocabulary terms with prefix 's' by df."""
+    from strucmotif_search_spark.query.analytics import suggest_terms
+
+    eng = _engine(spark, sf_dir)
+    return suggest_terms(eng, "s", n=10).select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+
+
+def _q_suggest_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean: best corrections for the misspelling 'tabel'
+    (edit distance asc, df desc, term asc)."""
+    from strucmotif_search_spark.query.analytics import suggest_corrections
+
+    eng = _engine(spark, sf_dir)
+    return suggest_corrections(eng, "tabel", max_dist=2, n=5).select(
+        "term", F.col("df").cast("long").alias("df"), "dist"
+    )
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this: the probe's 3 highest tf*idf terms become a plain
+    disjunctive BM25 query (the tf-4 head term 'the' is outweighed)."""
+    from strucmotif_search_spark.query.analytics import more_like_this
+
+    eng = _engine(spark, sf_dir)
+    hits = more_like_this(
+        eng, _MLT_PROBE, k=10, max_terms=3, with_meta=True
+    )
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_hll_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog register table (p=8, 256 registers) over the corpus's
     distinct token BIGRAMS — deterministic md5 integer math, so the full
@@ -1369,6 +1407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_ql_topk": _q_ql_topk,
             "ii_near_pair": _q_near_pair,
             "ii_snippets": _q_snippets,
+            "ii_suggest_prefix": _q_suggest_prefix,
+            "ii_suggest_correction": _q_suggest_correction,
+            "ii_more_like_this": _q_more_like_this,
             "sim_cosine_topk": _q_cosine_topk,
             "sim_embedding_near_dup": _q_embedding_near_dup,
             "sim_lsh_topk": _q_lsh_topk,
@@ -1474,6 +1515,59 @@ spans AS (
   GROUP BY p1.doc_id
 )
 SELECT doc_id, span FROM spans WHERE span <= 8
+"""
+    # autocomplete: vocabulary terms by prefix, df-descending
+    sql["ii_suggest_prefix"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+tdf AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df FROM tdf WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 10
+"""
+    # did-you-mean: levenshtein neighborhood ranked (dist, df desc, term)
+    sql["ii_suggest_correction"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+tdf AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df, levenshtein(term, 'tabel')::BIGINT AS dist
+FROM tdf WHERE levenshtein(term, 'tabel') <= 2
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+"""
+    # more-like-this: probe terms weighted tf * Lucene idf in SQL, top-3
+    # become a plain disjunctive BM25 query over the corpus
+    sql["ii_more_like_this"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+tdf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+probe AS (
+  SELECT unnest(regexp_extract_all('{_MLT_PROBE}', '{TOKEN_PATTERN}')) AS term
+),
+ptf AS (SELECT term, count(*)::DOUBLE AS ptf FROM probe GROUP BY term),
+mterms AS (
+  SELECT ptf.term, tdf.df
+  FROM ptf JOIN tdf ON ptf.term = tdf.term
+  CROSS JOIN st
+  ORDER BY ptf.ptf * ln((st.n - tdf.df + 0.5) / (tdf.df + 0.5) + 1.0) DESC,
+           ptf.term ASC
+  LIMIT 3
+),
+contrib AS (
+  SELECT tf.doc_id,
+         ln((st.n - m.df + 0.5) / (m.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN mterms m ON tf.term = m.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+),
+scores AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(s, 4) AS score
+FROM scores ORDER BY s DESC, doc_id ASC LIMIT 10
 """
     # snippets: BM25 top-10 + the 7-token window centred on the first
     # occurrence of any query term (engine snippet_search, ctx=3)

@@ -107,3 +107,83 @@ def facet_counts(
     return matched.join(dm, on="doc_id").groupBy(facet_col).agg(
         F.count("*").cast("long").alias("n_docs")
     )
+
+
+def suggest_terms(engine, prefix: str, n: int = 10) -> DataFrame:
+    """Autocomplete: the ``n`` most frequent vocabulary terms with
+    ``prefix``, as ``(term, df)`` ordered df-descending (term-ascending
+    ties) — the Lucene suggest/completion surface, answered entirely from
+    the terms table.
+
+    Plan: a pushed-down ``StartsWith`` range scan of the dictionary-sized
+    terms table + TakeOrderedAndProject — the corpus and the posting store
+    are never touched, so cost is bounded by the dictionary at any corpus
+    scale."""
+    return (
+        engine.terms.where(F.col("term").startswith(prefix))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def suggest_corrections(
+    engine, token: str, max_dist: int = 2, n: int = 5
+) -> DataFrame:
+    """Did-you-mean: the ``n`` best spelling corrections for ``token`` as
+    ``(term, df, dist)``, ordered (edit distance asc, df desc, term asc) —
+    the Lucene DirectSpellChecker shape.
+
+    Plan: the fuzzy_search vocabulary probe reused for suggestion — a
+    pushed-down ``length(term) BETWEEN len±d`` pre-filter then the JVM
+    ``levenshtein`` expression on the terms table; dictionary-bounded, no
+    Python, no corpus scan.  A token already in the vocabulary simply
+    ranks itself first (dist 0)."""
+    dist = F.levenshtein(F.col("term"), F.lit(token))
+    return (
+        engine.terms.where(
+            F.length("term").between(
+                len(token) - max_dist, len(token) + max_dist
+            )
+        )
+        .withColumn("dist", dist.cast("long"))
+        .where(F.col("dist") <= max_dist)
+        .select("term", "df", "dist")
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def more_like_this(
+    engine, content: str, k: int = 10, max_terms: int = 5, **search_kw
+) -> DataFrame:
+    """More-like-this: rank the corpus against a probe document (the Lucene
+    MoreLikeThis operator; the reference's detectMotifs-on-one-structure
+    shape, Strucmotif.java:35-37 — derive query terms from the probe, then
+    run the standard search).
+
+    The probe's distinct terms are scored driver-side with
+    ``tf * idf`` (the planner's Lucene idf, planner.py:100-101) after one
+    vocabulary-cache lookup; the ``max_terms`` highest-weighted terms
+    (score desc, term asc ties) become a plain disjunctive BM25 query
+    through the production DAAT path.  The probe itself never touches the
+    cluster — only its <= ``max_terms`` derived terms do."""
+    from collections import Counter
+
+    from ..oracle import tokenize
+    from .planner import idf
+
+    tf = Counter(tokenize(content))
+    found = engine._vocab_lookup(sorted(tf))
+    n_docs = int(engine._stats_row["n_docs"])
+    weighted = sorted(
+        (
+            (-(tf[t] * idf(n_docs, df)), t)
+            for t, (_tid, df) in found.items()
+        ),
+    )[:max_terms]
+    if not weighted:
+        return engine.spark.createDataFrame([], "doc_id long, score double")
+    return engine.search(
+        " ".join(t for _w, t in weighted), k=k, mode="or", **search_kw
+    )

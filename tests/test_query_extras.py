@@ -200,6 +200,77 @@ def test_near_absent_term_empty(engine):
 
 
 # ---------------------------------------------------------------------------
+# suggest / more-like-this
+# ---------------------------------------------------------------------------
+
+def test_suggest_terms_prefix_ranked_by_df(engine):
+    from strucmotif_search_spark.query.analytics import suggest_terms
+
+    idx, _ = _oracle(engine)
+    expected = sorted(
+        ((t, idx.df[t]) for t in idx.postings if t.startswith("ta")),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    got = [
+        (r["term"], r["df"])
+        for r in suggest_terms(engine, "ta", n=10).collect()
+    ]
+    assert got == expected and len(expected) >= 3  # table/tables/tabled...
+
+
+def test_suggest_corrections_ranked_by_dist_then_df(engine):
+    from strucmotif_search_spark.query.analytics import suggest_corrections
+
+    idx, _ = _oracle(engine)
+    expected = sorted(
+        (
+            (_lev(t, "tabel"), -idx.df[t], t)
+            for t in idx.postings
+            if _lev(t, "tabel") <= 2
+        ),
+    )[:5]
+    expected = [(t, -negdf, d) for d, negdf, t in expected]
+    got = [
+        (r["term"], r["df"], r["dist"])
+        for r in suggest_corrections(engine, "tabel", max_dist=2, n=5).collect()
+    ]
+    assert got == expected and len(expected) > 1
+
+
+def test_more_like_this_matches_derived_query(engine):
+    from strucmotif_search_spark.query.analytics import more_like_this
+    from strucmotif_search_spark.query.planner import idf as _idf
+
+    idx, _ = _oracle(engine)
+    probe = "stream stream batch the the the the zz_unknown"
+    tf = {}
+    for t in tokenize(probe):
+        tf[t] = tf.get(t, 0) + 1
+    weighted = sorted(
+        (-(c * _idf(idx.n_docs, idx.df[t])), t)
+        for t, c in tf.items()
+        if t in idx.df
+    )[:2]
+    terms = [t for _w, t in weighted]
+    # max_terms pruning exercised: 3 present probe terms, only 2 survive
+    assert len(terms) == 2
+    expected = bm25_topk(idx, " ".join(terms), k=100)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in more_like_this(
+            engine, probe, k=100, max_terms=2, with_meta=False
+        ).collect()
+    ]
+    assert got == expected and len(expected) > 0
+
+
+def test_more_like_this_all_unknown_empty(engine):
+    from strucmotif_search_spark.query.analytics import more_like_this
+
+    assert more_like_this(engine, "zz1 zz2 zz3", k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
 # snippets
 # ---------------------------------------------------------------------------
 
