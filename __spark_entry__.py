@@ -159,6 +159,7 @@ def _bm25_sql(
     doc_where: str = "",
     exclude: list[str] | None = None,
     tie_by_source: bool = False,
+    offset: int = 0,
     post_filter: str = "",
     must: list[str] | None = None,
 ) -> str:
@@ -237,7 +238,7 @@ scores AS (
 )
 SELECT sc.doc_id, round(sc.s, 4) AS score
 FROM scores sc {filt_join} {tie_join} {excl_where}
-ORDER BY sc.s DESC, {tie_order} LIMIT {k}
+ORDER BY sc.s DESC, {tie_order} LIMIT {k}{f" OFFSET {offset}" if offset else ""}
 """
 
 
@@ -766,6 +767,40 @@ def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MLT_PROBE = "customer customer customer stream stream join the the the the"
+
+_EXPLAIN_DOCS = [3, 7, 21, 42, 100]
+
+
+def _q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: ranks 11-20 of the 'table query' disjunction (SQL
+    LIMIT 10 OFFSET 10 under the engine's total order)."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.search("table query", k=10, offset=10, with_meta=True)
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score explain: per-(doc, term) BM25 contributions for a fixed doc
+    set — summing contrib per doc reproduces the search score."""
+    from strucmotif_search_spark.query.analytics import explain_contributions
+
+    eng = _engine(spark, sf_dir)
+    internal = [
+        int(r["doc_id"])
+        for r in eng.doc_map.where(
+            F.col("path").cast("long").isin(_EXPLAIN_DOCS)
+        ).select("doc_id").collect()
+    ]
+    exp = explain_contributions(eng, "customer table", internal)
+    dm = eng.doc_map.select("doc_id", "path")
+    return exp.join(dm, on="doc_id").select(
+        F.col("path").cast("long").alias("doc_id"),
+        "term",
+        "tf",
+        F.round("contrib", 4).alias("contrib"),
+    )
 
 
 def _q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1410,6 +1445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_suggest_prefix": _q_suggest_prefix,
             "ii_suggest_correction": _q_suggest_correction,
             "ii_more_like_this": _q_more_like_this,
+            "ii_bm25_page2": _q_bm25_page2,
+            "ii_explain": _q_explain,
             "sim_cosine_topk": _q_cosine_topk,
             "sim_embedding_near_dup": _q_embedding_near_dup,
             "sim_lsh_topk": _q_lsh_topk,
@@ -1515,6 +1552,37 @@ spans AS (
   GROUP BY p1.doc_id
 )
 SELECT doc_id, span FROM spans WHERE span <= 8
+"""
+    sql["ii_bm25_page2"] = _bm25_sql(
+        ["table", "query"], 10, "or", tie_by_source=True, offset=10
+    )
+    # score explain: per-(doc, term) BM25 contribution for a fixed doc set
+    docs_in = ",".join(str(d) for d in _EXPLAIN_DOCS)
+    sql["ii_explain"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+q(term) AS (VALUES ('customer'),('table')),
+qdf AS (
+  SELECT q.term,
+         (SELECT count(*) FROM tf WHERE tf.term = q.term)::DOUBLE AS df
+  FROM q
+)
+SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf,
+       round(
+         ln((st.n - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)),
+         4
+       ) AS contrib
+FROM tf JOIN qdf ON tf.term = qdf.term
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN st
+WHERE tf.doc_id IN ({docs_in})
 """
     # autocomplete: vocabulary terms by prefix, df-descending
     sql["ii_suggest_prefix"] = f"""

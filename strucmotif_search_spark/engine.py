@@ -130,8 +130,18 @@ class SearchEngine:
         expansions: dict[str, list[str]] | None = None,
         exclude: str | None = None,
         should: str | None = None,
+        offset: int = 0,
     ) -> DataFrame:
         """BM25 top-k via the DAAT path.
+
+        ``offset``: pagination — skip the first ``offset`` ranked hits and
+        return the next ``k`` (SQL LIMIT k OFFSET n semantics under the
+        engine's total order: score desc, doc_id asc).  Implemented as a
+        deep-k query: the DAAT path retrieves the top ``k + offset`` (its
+        per-shard heaps, shard pruning thetas and tie handling all size to
+        the deeper k) and the offset is applied to the globally merged
+        order — the standard deep-pagination shape; cost grows with
+        ``k + offset``, as it must for a total-order contract.
 
         ``should``: SHOULD-clause terms (Lucene BooleanQuery): when given,
         ``query`` supplies the MUST clauses and the engine runs in boolean
@@ -199,11 +209,13 @@ class SearchEngine:
             norms,
             plan,
             docs_per_shard=self.meta["docs_per_shard"],
-            k=k,
+            k=k + offset,
             mode=mode,
             prune_shards=prune_shards,
             exclude_ids=exclude_ids or None,
         )
+        if offset:
+            hits = hits.offset(offset)
         return self._materialize(hits, k) if with_meta else hits
 
     def prefix_search(

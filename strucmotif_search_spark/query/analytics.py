@@ -154,6 +154,79 @@ def suggest_corrections(
     )
 
 
+def explain_contributions(
+    engine, query: str, doc_ids: list[int]
+) -> DataFrame:
+    """Score transparency (the Lucene ``explain()`` surface): for each
+    requested doc and each present query term, the exact BM25 contribution
+    ``(doc_id, term, tf, contrib)`` with
+    ``contrib = idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` — summing
+    ``contrib`` over terms reproduces the search score bit-for-bit modulo
+    summation order.
+
+    Plan: the posting scan carries pushed-down ``In(term_id)`` AND
+    ``In(shard)`` predicates (the requested docs' shards are known
+    driver-side: ``doc_id // docs_per_shard``), so only the handful of
+    blocks that can contain the requested docs are read; decode is the
+    Arrow-vectorized block decoder; idf/doclen attach as a literal map and
+    a broadcast doc_map join; the contribution itself is a JVM expression.
+    Nothing here scales with the corpus — only with ``len(doc_ids)`` and
+    the query's posting blocks for those shards."""
+    from ..build.postings import decode_postings
+    from .planner import plan_query
+
+    plan = plan_query(
+        query,
+        engine.terms,
+        engine.stats,
+        stats_row=engine._stats_row,
+        vocab_lookup=engine._vocab_lookup,
+    )
+    empty = engine.spark.createDataFrame(
+        [], "doc_id long, term string, tf long, contrib double"
+    )
+    if not plan.term_ids or not doc_ids:
+        return empty
+    dps = int(engine.meta["docs_per_shard"])
+    shards = sorted({d // dps for d in doc_ids})
+    blocks = engine.postings.where(
+        F.col("term_id").isin(plan.term_ids) & F.col("shard").isin(shards)
+    )
+    decoded = decode_postings(blocks).where(F.col("doc_id").isin(doc_ids))
+    idf_map = F.create_map(
+        *[
+            x
+            for tid, w in zip(plan.term_ids, plan.idfs)
+            for x in (F.lit(tid), F.lit(w))
+        ]
+    )
+    term_map = F.create_map(
+        *[
+            x
+            for tid, t in zip(plan.term_ids, plan.terms)
+            for x in (F.lit(tid), F.lit(t))
+        ]
+    )
+    dl = F.broadcast(
+        engine.doc_map.where(F.col("doc_id").isin(doc_ids)).select(
+            "doc_id", "doclen"
+        )
+    )
+    k1, b, avgdl = plan.k1, plan.b, plan.avgdl
+    tf = F.col("tf").cast("double")
+    contrib = (
+        idf_map[F.col("term_id")]
+        * (tf * (k1 + 1.0))
+        / (tf + k1 * (1.0 - b + b * F.col("doclen") / avgdl))
+    )
+    return decoded.join(dl, on="doc_id").select(
+        "doc_id",
+        term_map[F.col("term_id")].alias("term"),
+        F.col("tf").cast("long").alias("tf"),
+        contrib.alias("contrib"),
+    )
+
+
 def more_like_this(
     engine, content: str, k: int = 10, max_terms: int = 5, **search_kw
 ) -> DataFrame:

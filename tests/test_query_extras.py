@@ -271,6 +271,47 @@ def test_more_like_this_all_unknown_empty(engine):
 
 
 # ---------------------------------------------------------------------------
+# pagination / explain
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("offset,k", [(0, 3), (2, 3), (5, 100), (100, 5)])
+def test_search_offset_slices_total_order(engine, offset, k):
+    idx, _ = _oracle(engine)
+    full = bm25_topk(idx, "table query", k=1000)
+    expected = full[offset: offset + k]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(
+            "table query", k=k, offset=offset, with_meta=False
+        ).collect()
+    ]
+    assert got == expected
+
+
+def test_explain_contributions_sum_to_score(engine):
+    from strucmotif_search_spark.query.analytics import explain_contributions
+
+    idx, _ = _oracle(engine)
+    hits = bm25_topk(idx, "table query", k=5)
+    ids = [d for d, _s in hits]
+    rows = explain_contributions(engine, "table query", ids).collect()
+    by_doc: dict[int, float] = {}
+    for r in rows:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0.0) + r["contrib"]
+        # each contribution is a positive BM25 term share
+        assert r["contrib"] > 0 and r["tf"] >= 1
+    for d, s in hits:
+        assert by_doc[d] == pytest.approx(s, rel=1e-12)
+
+
+def test_explain_empty_inputs(engine):
+    from strucmotif_search_spark.query.analytics import explain_contributions
+
+    assert explain_contributions(engine, "zz_nope", [0]).count() == 0
+    assert explain_contributions(engine, "table", []).count() == 0
+
+
+# ---------------------------------------------------------------------------
 # snippets
 # ---------------------------------------------------------------------------
 
