@@ -781,6 +781,21 @@ def _q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor pagination (search_after): page 2 fetched via the (score,
+    doc_id) cursor of page 1's last hit — must equal LIMIT 10 OFFSET 10
+    of the total order, at page-1 cost."""
+    eng = _engine(spark, sf_dir)
+    p1 = eng.search("table query", k=10, with_meta=False).collect()
+    cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+    hits = eng.search(
+        "table query", k=10, after=cursor, with_meta=True
+    )
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score explain: per-(doc, term) BM25 contributions for a fixed doc
     set — summing contrib per doc reproduces the search score."""
@@ -1446,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_suggest_correction": _q_suggest_correction,
             "ii_more_like_this": _q_more_like_this,
             "ii_bm25_page2": _q_bm25_page2,
+            "ii_bm25_search_after": _q_bm25_search_after,
             "ii_explain": _q_explain,
             "sim_cosine_topk": _q_cosine_topk,
             "sim_embedding_near_dup": _q_embedding_near_dup,
@@ -1554,6 +1570,11 @@ spans AS (
 SELECT doc_id, span FROM spans WHERE span <= 8
 """
     sql["ii_bm25_page2"] = _bm25_sql(
+        ["table", "query"], 10, "or", tie_by_source=True, offset=10
+    )
+    # cursor pagination replays the same rows as OFFSET under the engine's
+    # total order (cursor = page 1's last (score, doc_id))
+    sql["ii_bm25_search_after"] = _bm25_sql(
         ["table", "query"], 10, "or", tie_by_source=True, offset=10
     )
     # score explain: per-(doc, term) BM25 contribution for a fixed doc set

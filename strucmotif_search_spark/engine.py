@@ -131,6 +131,7 @@ class SearchEngine:
         exclude: str | None = None,
         should: str | None = None,
         offset: int = 0,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """BM25 top-k via the DAAT path.
 
@@ -142,6 +143,17 @@ class SearchEngine:
         the deeper k) and the offset is applied to the globally merged
         order — the standard deep-pagination shape; cost grows with
         ``k + offset``, as it must for a total-order contract.
+
+        ``after``: cursor pagination (the Elasticsearch ``search_after``
+        shape) — ``(score, doc_id)`` of the previous page's LAST hit;
+        returns the next ``k`` hits strictly after that cursor in the total
+        order.  Unlike ``offset``, the cursor filter applies inside the
+        per-shard scorer BEFORE the top-k heaps, so page N costs the same
+        as page 1 (the in-shard MaxScore prune is disabled for cursor
+        pages — its threshold would be unsound under exclusion-from-above
+        — but shard-level pruning stays active).  Scores are deterministic
+        float64, so the cursor's equality arm is exact across pages.
+        Mutually exclusive with ``offset``.
 
         ``should``: SHOULD-clause terms (Lucene BooleanQuery): when given,
         ``query`` supplies the MUST clauses and the engine runs in boolean
@@ -203,6 +215,8 @@ class SearchEngine:
         n_shards = self.meta.get("n_shards") or 0
         if prune_shards is None:
             prune_shards = n_shards > 64
+        if offset and after is not None:
+            raise ValueError("offset and after are mutually exclusive")
         hits = bm25_topk_daat(
             self.spark,
             self.postings,
@@ -213,6 +227,7 @@ class SearchEngine:
             mode=mode,
             prune_shards=prune_shards,
             exclude_ids=exclude_ids or None,
+            after=after,
         )
         if offset:
             hits = hits.offset(offset)

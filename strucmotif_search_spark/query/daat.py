@@ -55,7 +55,14 @@ def _make_scorer(
     k: int,
     mode: str,
     exclude_ids: tuple[int, ...] = (),
+    after: tuple[float, int] | None = None,
 ):
+    """``after``: cursor pagination — emit only docs STRICTLY after the
+    (score, doc_id) cursor in the engine's total order (score desc, doc_id
+    asc).  Scores are deterministic float64, so the equality arm of the
+    cursor comparison is exact across pages.  Applied before the per-shard
+    top-k heap, so a cursor page costs the same as page one (constant in
+    page depth — the scalable alternative to ``offset``)."""
     # ascending group-key order fixes float64 summation; rarest-first order
     # (plan.groups is already df-ascending) drives intersection
     by_key = sorted(plan.groups, key=lambda g: g.key)
@@ -164,8 +171,13 @@ def _make_scorer(
         # complete postings (a skipped block's [first,max] range excludes
         # every candidate), and final accumulation below replays ascending
         # key order, so emitted scores are bitwise-identical to unpruned.
+        # MaxScore's theta is the k-th best partial over ALL docs; under a
+        # cursor the true emission threshold can be LOWER (high scorers are
+        # excluded), so the prune would be unsound — disable it (cursor
+        # pages pay the plain exact plan; shard-level pruning stays on, its
+        # theta comes from already-cursor-filtered probe results)
         cmask: np.ndarray | None = None
-        if mode == "or" and n_groups > 1:
+        if mode == "or" and n_groups > 1 and after is None:
             ubs = []
             for grp in plan.groups:
                 mtf = 0
@@ -254,6 +266,14 @@ def _make_scorer(
         if hit.size == 0:
             return _empty_pdf()
         s = score[hit]
+        if after is not None:
+            # strictly after the (score desc, doc_id asc) cursor; float64
+            # scores are deterministic so the equality arm is exact
+            cs, cd = after
+            keep = (s < cs) | ((s == cs) & ((hit + base) > cd))
+            hit, s = hit[keep], s[keep]
+            if hit.size == 0:
+                return _empty_pdf()
         # per-shard top-k heap: argpartition, then keep ALL docs tied with
         # the boundary score before the exact (score desc, doc_id asc)
         # order — selecting by score alone would break the doc_id-asc
@@ -289,6 +309,7 @@ def bm25_topk_daat(
     prune_shards: bool = True,
     probe_shards: int = 8,
     exclude_ids: list[int] | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) via sharded DAAT.  Deterministic.
 
@@ -336,7 +357,7 @@ def bm25_topk_daat(
         "doc_gaps", "tfs",
     )
     scorer = _make_scorer(
-        plan, docs_per_shard, k, mode, tuple(exclude_ids)
+        plan, docs_per_shard, k, mode, tuple(exclude_ids), after=after
     )
 
     def score_blocks(b: DataFrame) -> DataFrame:

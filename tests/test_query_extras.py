@@ -288,6 +288,35 @@ def test_search_offset_slices_total_order(engine, offset, k):
     assert got == expected
 
 
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_search_after_cursor_walks_full_ranking(engine, mode):
+    """Paging with after=(score, doc_id) cursors must reproduce the full
+    oracle ranking with no gaps, dups, or order breaks — including across
+    bitwise score ties."""
+    idx, _ = _oracle(engine)
+    full = bm25_topk(idx, "table query", k=1000, mode=mode)
+    pages = []
+    cursor = None
+    for _ in range(50):
+        page = [
+            (r["doc_id"], r["score"])
+            for r in engine.search(
+                "table query", k=2, mode=mode, with_meta=False,
+                after=cursor,
+            ).collect()
+        ]
+        if not page:
+            break
+        pages.extend(page)
+        cursor = (page[-1][1], page[-1][0])
+    assert pages == full
+
+
+def test_search_after_exclusive_with_offset(engine):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        engine.search("table", k=2, offset=2, after=(1.0, 0))
+
+
 def test_explain_contributions_sum_to_score(engine):
     from strucmotif_search_spark.query.analytics import explain_contributions
 
