@@ -169,3 +169,53 @@ def test_streaming_exact_dedup_and_canonical_map(spark, tmp_path_factory):
     assert got[2] == (0, False)      # in-batch dup
     assert got[3] == (0, False)      # cross-batch dup via state store
     assert got[1] == (1, True) and got[4] == (4, True)
+
+
+def test_classify_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming classification must emit exactly the batch operator's
+    matches for the same documents, keyed by the feed's natural key."""
+    from strucmotif_search_spark.query.classify import classify_documents
+    from strucmotif_search_spark.streaming.classify_stream import (
+        classify_stream,
+    )
+
+    base = tmp_path_factory.mktemp("sclassify")
+    corpus = generate_corpus(spark, 150, seed=23, partitions=4).cache()
+    store = IndexStore(base / "index")
+    build_index(spark, corpus, store, docs_per_shard=64,
+                shards_per_chunk=1 << 20)
+    eng = SearchEngine(spark, store)
+
+    feed = generate_corpus(spark, 60, seed=77, partitions=3).cache()
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ck")
+    feed.repartition(3).write.mode("overwrite").parquet(src)
+
+    lib = {"q_a": "v_00000 v_00005", "q_b": "v_00010"}
+    q = classify_stream(
+        spark, eng, lib, src, sink, ckpt, mode="and", available_now=True
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = {
+        (r["doc_key"], r["query_id"]): (r["score"], r["n_matched"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch_docs = feed.select(
+        F.col("path").alias("doc_key"), "content"
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    expected_df = classify_documents(
+        eng, batch_docs.select("doc_id", "content"), lib, mode="and"
+    ).join(batch_docs.select("doc_id", "doc_key"), on="doc_id")
+    expected = {
+        (r["doc_key"], r["query_id"]): (r["score"], r["n_matched"])
+        for r in expected_df.collect()
+    }
+    assert got == expected and len(expected) > 0
+
+    # restart over the same source: offsets consumed, sink unchanged
+    q2 = classify_stream(
+        spark, eng, lib, src, sink, ckpt, mode="and", available_now=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == len(expected)
