@@ -1120,6 +1120,32 @@ def main() -> None:
         f"{queries['q16_ql']}s  q17_fuzzy {queries['q17_fuzzy']}s  "
         f"q18_snippets {queries['q18_snippets']}s"
     )
+    # q19a/b: deep pagination — offset must pay the deep-k retrieval,
+    # the search_after cursor must stay at page-one cost
+    deep = 500
+    p1 = engine.search("window merge", k=deep, with_meta=False).collect()
+    cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        engine.search(
+            "window merge", k=10, offset=deep, with_meta=False
+        ).collect()
+        best = min(best, time.time() - t0)
+    queries["q19a_page_offset"] = round(best, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        engine.search(
+            "window merge", k=10, after=cursor, with_meta=False
+        ).collect()
+        best = min(best, time.time() - t0)
+    queries["q19b_page_cursor"] = round(best, 3)
+    log(
+        f"[bench] deep page {deep}: offset "
+        f"{queries['q19a_page_offset']}s vs cursor "
+        f"{queries['q19b_page_cursor']}s"
+    )
 
     # ---- incremental ADD -> query on refs-gen -> compact -> query ----
     # proves compaction restores the exchange-free plan (PLANS.md §11) and
