@@ -340,7 +340,13 @@ class SearchEngine:
                         len(base) - max_dist, len(base) + max_dist
                     )
                 )
-                .where(F.levenshtein(F.col("term"), F.lit(base)) <= max_dist)
+                # bounded DP: the 3-arg levenshtein early-exits rows whose
+                # distance exceeds the threshold (returns -1 for those)
+                .where(
+                    F.levenshtein(
+                        F.col("term"), F.lit(base), max_dist
+                    ).between(0, max_dist)
+                )
                 .select("term")
                 .orderBy("term")
                 .limit(max_expansions + 1)

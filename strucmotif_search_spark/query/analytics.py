@@ -139,7 +139,8 @@ def suggest_corrections(
     ``levenshtein`` expression on the terms table; dictionary-bounded, no
     Python, no corpus scan.  A token already in the vocabulary simply
     ranks itself first (dist 0)."""
-    dist = F.levenshtein(F.col("term"), F.lit(token))
+    # bounded DP: 3-arg levenshtein early-exits above the threshold (-1)
+    dist = F.levenshtein(F.col("term"), F.lit(token), max_dist)
     return (
         engine.terms.where(
             F.length("term").between(
@@ -147,7 +148,7 @@ def suggest_corrections(
             )
         )
         .withColumn("dist", dist.cast("long"))
-        .where(F.col("dist") <= max_dist)
+        .where(F.col("dist").between(0, max_dist))
         .select("term", "df", "dist")
         .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         .limit(n)
