@@ -302,6 +302,7 @@ def _bm25_expanded_sql(
     mode: str,
     prefix_groups: dict[str, str] | None = None,
     lev_groups: dict[str, tuple[str, int]] | None = None,
+    regex_groups: dict[str, str] | None = None,
 ) -> str:
     """``prefix_groups`` (gkey -> LIKE prefix): wildcard groups whose member
     set is DERIVED from the corpus vocabulary in SQL (term LIKE 'p%') — the
@@ -326,9 +327,15 @@ def _bm25_expanded_sql(
             f"SELECT DISTINCT term, '{gkey}' FROM tdf "
             f"WHERE levenshtein(term, '{base}') <= {dist}"
         )
+    for gkey, pat in sorted((regex_groups or {}).items()):
+        grp_parts.append(
+            f"SELECT DISTINCT term, '{gkey}' FROM tdf "
+            f"WHERE regexp_full_match(term, '{pat}')"
+        )
     grp_body = "\nUNION ALL\n".join(grp_parts)
     n_groups = (
         len(expansions) + len(prefix_groups or {}) + len(lev_groups or {})
+        + len(regex_groups or {})
     )
     and_filter = f"HAVING count(*) = {n_groups}" if mode == "and" else ""
     return f"""
@@ -776,6 +783,18 @@ def _q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10 OFFSET 10 under the engine's total order)."""
     eng = _engine(spark, sf_dir)
     hits = eng.search("table query", k=10, offset=10, with_meta=True)
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_bm25_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex term query: every vocabulary term fully matching 'sup.*r'
+    scored as one blended group alongside plain term 'table'."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.regex_search(
+        "sup.*r", extra_terms="table", k=10, mode="or", with_meta=True
+    )
     return _orig_doc_id(hits).select(
         "doc_id", F.round("score", 4).alias("score")
     )
@@ -1462,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_more_like_this": _q_more_like_this,
             "ii_bm25_page2": _q_bm25_page2,
             "ii_bm25_search_after": _q_bm25_search_after,
+            "ii_bm25_regex": _q_bm25_regex,
             "ii_explain": _q_explain,
             "sim_cosine_topk": _q_cosine_topk,
             "sim_embedding_near_dup": _q_embedding_near_dup,
@@ -1519,6 +1539,9 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
     )
     sql["ii_bm25_fuzzy"] = _bm25_expanded_sql(
         {"stream": []}, 10, "or", lev_groups={"customer~": ("customer", 1)}
+    )
+    sql["ii_bm25_regex"] = _bm25_expanded_sql(
+        {"table": []}, 10, "or", regex_groups={"rx": "sup.*r"}
     )
     # Dirichlet query likelihood (query/ql.py): candidates = docs matching
     # >=1 present query term; unmatched terms contribute smoothing mass;

@@ -368,6 +368,58 @@ class SearchEngine:
             expansions=expansions or None, **kw,
         )
 
+    def regex_search(
+        self,
+        pattern: str,
+        extra_terms: str = "",
+        k: int = 10,
+        mode: str = "or",
+        max_expansions: int = 128,
+        **kw,
+    ) -> DataFrame:
+        """Regex term query (Lucene RegexpQuery): every vocabulary term
+        fully matching ``pattern`` forms ONE blended expansion group
+        (tf = sum of member tfs, df = max member df), optionally combined
+        with plain ``extra_terms`` — the third member of the
+        prefix/fuzzy/regex multi-term rewrite family, all riding the A4
+        expansion machinery.
+
+        The vocabulary probe is a JVM ``rlike`` scan of the
+        dictionary-sized terms table with the match anchored to the full
+        term (``^pattern$``) — dictionary-bounded at any corpus scale.
+        Keep patterns within the portable subset (char classes,
+        alternation, quantifiers) if results must replay identically
+        across regex engines.  ``max_expansions`` raises on blowup (the
+        Lucene guard); a pattern matching nothing contributes an absent
+        group (ignored under OR, empties the result under AND).
+        """
+        rows = (
+            self.terms.where(F.col("term").rlike(f"^(?:{pattern})$"))
+            .select("term")
+            .orderBy("term")
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        members = [r["term"] for r in rows]
+        if len(members) > max_expansions:
+            raise ValueError(
+                f"{pattern!r} matches more than {max_expansions} terms"
+            )
+        base_tokens = list(extra_terms.split())
+        expansions: dict[str, list[str]] = {}
+        if members:
+            base_tokens.append(members[0])
+            if members[1:]:
+                expansions[members[0]] = members[1:]
+        elif mode == "and" or not base_tokens:
+            # absent group: empties the conjunction; with no other terms
+            # the disjunction is empty too
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(
+            " ".join(base_tokens), k=k, mode=mode,
+            expansions=expansions or None, **kw,
+        )
+
     def ql_search(
         self,
         query: str,

@@ -134,6 +134,49 @@ def test_fuzzy_expansion_cap_raises(engine):
 
 
 # ---------------------------------------------------------------------------
+# regex term query
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("pattern", ["tab.*", "(stable|fable|cable)", "qu.ry"])
+def test_regex_expands_to_matching_vocab(engine, pattern):
+    import re as _re
+
+    idx, _ = _oracle(engine)
+    rx = _re.compile(f"^(?:{pattern})$")
+    members = sorted(t for t in idx.postings if rx.fullmatch(t) or rx.match(t))
+    assert members  # fixture sanity
+    expected = bm25_topk(
+        idx, members[0], k=100, expansions={members[0]: members[1:]}
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.regex_search(pattern, k=100, with_meta=False).collect()
+    ]
+    assert got == expected
+
+
+def test_regex_no_match_semantics(engine):
+    assert engine.regex_search("zzz.*qqq", k=5, with_meta=False).count() == 0
+    assert (
+        engine.regex_search(
+            "zzz.*qqq", extra_terms="query", mode="and", k=5, with_meta=False
+        ).count()
+        == 0
+    )
+    assert (
+        engine.regex_search(
+            "zzz.*qqq", extra_terms="query", mode="or", k=5, with_meta=False
+        ).count()
+        > 0
+    )
+
+
+def test_regex_expansion_cap_raises(engine):
+    with pytest.raises(ValueError, match="matches more than"):
+        engine.regex_search(".*", k=5, max_expansions=2)
+
+
+# ---------------------------------------------------------------------------
 # Dirichlet query likelihood
 # ---------------------------------------------------------------------------
 
