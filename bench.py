@@ -1217,11 +1217,17 @@ def main() -> None:
         },
         "scaling": scaling,
     }
-    _write_bench_md(result)
+    # a skip-scaling iteration run (local suite work, often at a small sf)
+    # must not clobber the repo's record artifacts — write sidecars instead
+    skip_run = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+    _write_bench_md(result, "BENCH_local.md" if skip_run else "BENCH.md")
     # full per-pair detail (reps, stages) goes to a sidecar + BENCH.md; the
     # stdout artifact keeps a COMPACT summary so the driver's final-line JSON
     # parse cannot overflow its tail buffer (round-2 "parsed: null" bug)
-    with open(os.path.join(here, "BENCH_scaling_detail.json"), "w") as f:
+    detail = (
+        "BENCH_scaling_local.json" if skip_run else "BENCH_scaling_detail.json"
+    )
+    with open(os.path.join(here, detail), "w") as f:
         json.dump(result, f, indent=1)
     slim = dict(result)
     if scaling:
@@ -1232,7 +1238,7 @@ def main() -> None:
     print(json.dumps(slim), flush=True)
 
 
-def _write_bench_md(r: dict) -> None:
+def _write_bench_md(r: dict, fname: str = "BENCH.md") -> None:
     lines = [
         "# BENCH — measured numbers (this repo, this sandbox)",
         "",
@@ -1351,7 +1357,7 @@ def _write_bench_md(r: dict) -> None:
             "cluster.py; per-stage lineage metrics are in each index's",
             "_lineage.jsonl for audit.",
         ]
-    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH.md"), "w") as f:
+    with open(os.path.join(os.path.dirname(__file__) or ".", fname), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
