@@ -760,6 +760,21 @@ def _q_near_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_near_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity: 'customer' must precede 'table' within 8
+    positions (minimum-window subsequence span)."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.near_search(
+        "customer table", window=8, k=1_000_000, ordered=True
+    )
+    withmeta = F.broadcast(hits).join(
+        eng.doc_map.select("doc_id", "path"), on="doc_id"
+    )
+    return withmeta.select(
+        F.col("path").cast("long").alias("doc_id"), "span"
+    )
+
+
 def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 with keyword-in-context snippets: the 2*ctx+1-token
     window centred on the first occurrence of any query term."""
@@ -1475,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_bm25_fuzzy": _q_bm25_fuzzy,
             "ii_ql_topk": _q_ql_topk,
             "ii_near_pair": _q_near_pair,
+            "ii_near_ordered": _q_near_ordered,
             "ii_snippets": _q_snippets,
             "ii_suggest_prefix": _q_suggest_prefix,
             "ii_suggest_correction": _q_suggest_correction,
@@ -1588,6 +1604,26 @@ p2 AS (SELECT doc_id, i FROM pos WHERE term = 'table'),
 spans AS (
   SELECT p1.doc_id, min(abs(p1.i - p2.i))::BIGINT AS span
   FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+  GROUP BY p1.doc_id
+)
+SELECT doc_id, span FROM spans WHERE span <= 8
+"""
+    # ordered proximity: 'customer' strictly before 'table', min gap <= 8
+    sql["ii_near_ordered"] = f"""
+WITH tokarr AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(1, len(toks))) AS i
+  FROM tokarr
+),
+p1 AS (SELECT doc_id, i FROM pos WHERE term = 'customer'),
+p2 AS (SELECT doc_id, i FROM pos WHERE term = 'table'),
+spans AS (
+  SELECT p1.doc_id, min(p2.i - p1.i)::BIGINT AS span
+  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p1.i < p2.i
   GROUP BY p1.doc_id
 )
 SELECT doc_id, span FROM spans WHERE span <= 8

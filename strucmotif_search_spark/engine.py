@@ -462,11 +462,14 @@ class SearchEngine:
         )
         return self._materialize(hits, k) if with_meta else hits
 
-    def near_search(self, query: str, window: int, k: int = 10) -> DataFrame:
-        """Unordered proximity query (NEAR/w): docs where all distinct query
-        terms co-occur within ``window`` positions, ranked by tightest
-        minimal cover span (query/phrase.py near_topk).  Requires a
-        positional index, like phrase_search."""
+    def near_search(
+        self, query: str, window: int, k: int = 10, ordered: bool = False
+    ) -> DataFrame:
+        """Proximity query (NEAR/w): docs where all query terms co-occur
+        within ``window`` positions, ranked by tightest minimal cover span
+        (query/phrase.py near_topk).  ``ordered=True`` additionally requires
+        query-token order (Lucene ordered SpanNearQuery; repeats allowed).
+        Requires a positional index, like phrase_search."""
         if not self.meta.get("with_positions"):
             raise ValueError(
                 "near_search requires a positional index "
@@ -475,7 +478,8 @@ class SearchEngine:
         from .query.phrase import near_topk
 
         return near_topk(
-            self.spark, self.postings, self.terms, query, window, k=k
+            self.spark, self.postings, self.terms, query, window, k=k,
+            ordered=ordered,
         )
 
     def snippet_search(

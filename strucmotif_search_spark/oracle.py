@@ -228,16 +228,20 @@ def ql_topk(
 
 
 def near_spans(
-    texts: dict[int, str], query: str, window: int
+    texts: dict[int, str], query: str, window: int, ordered: bool = False
 ) -> list[tuple[int, int]]:
     """Proximity oracle (query/phrase.py near_topk contract): for each doc
     containing ALL distinct query terms, the minimal max-min position span
     covering one occurrence of each; emit (doc_id, span) for span <= window,
-    ordered span asc then doc_id asc.  Brute force over all position
-    combinations — O(prod tf) per doc, test corpora only."""
+    ordered span asc then doc_id asc.  ``ordered``: occurrences must form a
+    strictly-ascending chain in query-token order (repeats allowed).
+    Brute force over all position combinations — O(prod tf) per doc, test
+    corpora only."""
     from itertools import product
 
-    terms = sorted(set(tokenize(query)))
+    terms = (
+        list(tokenize(query)) if ordered else sorted(set(tokenize(query)))
+    )
     out = []
     for d in sorted(texts):
         toks = tokenize(texts[d])
@@ -246,9 +250,15 @@ def near_spans(
         ]
         if any(not p for p in plists):
             continue
-        best = min(
-            max(combo) - min(combo) for combo in product(*plists)
-        )
+        spans = [
+            max(combo) - min(combo)
+            for combo in product(*plists)
+            if not ordered
+            or all(a < b for a, b in zip(combo, combo[1:]))
+        ]
+        if not spans:
+            continue
+        best = min(spans)
         if best <= window:
             out.append((d, best))
     out.sort(key=lambda kv: (kv[1], kv[0]))

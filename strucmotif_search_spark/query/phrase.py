@@ -202,6 +202,7 @@ def near_topk(
     query: str,
     window: int,
     k: int = 10,
+    ordered: bool = False,
 ) -> DataFrame:
     """Unordered proximity (NEAR/w) query: top-k docs where ALL distinct
     query terms co-occur within a window of ``window`` token positions,
@@ -214,6 +215,13 @@ def near_topk(
     under a positional tolerance rather than equality).  Lucene analogue:
     unordered SpanNearQuery / intervals.
 
+    ``ordered=True``: the terms must additionally appear in QUERY order
+    (Lucene ordered SpanNearQuery): span = minimal ``p_last - p_first``
+    over strictly-ascending position chains matching the token sequence
+    (repeated tokens allowed).  Solved per doc by the classic
+    minimum-window-subsequence DP over the merged position stream —
+    O(P * n_slots); the unordered mode keeps the O(P) two-pointer cover.
+
     Execution per shard (cogroup task) reuses the phrase kernel's two-phase
     shape: (1) doc-id narrowing rarest-term-first with posting-block skip
     pointers — only blocks whose [first_doc_id, max_doc_id] range can still
@@ -225,7 +233,8 @@ def near_topk(
     ``orderBy(span asc, doc_id asc).limit(k)`` is Catalyst's
     TakeOrderedAndProject heap merge.
     """
-    seq = sorted(set(tokenize(query)))
+    seq_tokens = tokenize(query)
+    seq = sorted(set(seq_tokens))
     if not seq or window < 0:
         return spark.createDataFrame([], _NEAR_RESULT)
     lookup = {
@@ -241,6 +250,11 @@ def near_topk(
         tid for tid, _df in sorted(lookup.values(), key=lambda p: (p[1], p[0]))
     ]
     n_terms = len(order_tids)
+    # ordered mode: slot j must match the tag (order_tids index) of the
+    # j-th query token
+    tag_of_tid = {tid: i for i, tid in enumerate(order_tids)}
+    slot_tags = [tag_of_tid[lookup[t][0]] for t in seq_tokens]
+    n_slots = len(slot_tags)
 
     blocks = postings.where(
         F.col("term_id").isin(sorted(order_tids))
@@ -316,26 +330,50 @@ def near_topk(
         for s, e in zip(starts.tolist(), ends.tolist()):
             p = pos[s:e]
             t = tags[s:e]
-            # two-pointer minimal cover: window [lo, hi] over the sorted
-            # position stream; shrink lo while all n_terms tags covered
-            counts = np.zeros(n_terms, dtype=np.int64)
-            covered = 0
             best = -1
-            lo = 0
-            for hi in range(p.size):
-                th = int(t[hi])
-                counts[th] += 1
-                if counts[th] == 1:
-                    covered += 1
-                while covered == n_terms:
-                    span = int(p[hi] - p[lo])
-                    if best < 0 or span < best:
-                        best = span
-                    tl = int(t[lo])
-                    counts[tl] -= 1
-                    if counts[tl] == 0:
-                        covered -= 1
-                    lo += 1
+            if ordered:
+                # minimum-window subsequence DP: dp[j] = LATEST start
+                # position of a strictly-ascending chain matching slots
+                # 0..j and ending at/before the current position; slots
+                # scan descending so one position never fills two slots
+                dp = [-1] * n_slots
+                for i in range(p.size):
+                    tag = int(t[i])
+                    pi = int(p[i])
+                    for j in range(n_slots - 1, -1, -1):
+                        if slot_tags[j] != tag:
+                            continue
+                        if j == 0:
+                            dp[0] = pi
+                        elif dp[j - 1] >= 0:
+                            dp[j] = dp[j - 1]
+                    if dp[n_slots - 1] >= 0:
+                        span = pi - dp[n_slots - 1] if (
+                            slot_tags[n_slots - 1] == tag
+                        ) else -1
+                        if span >= 0 and (best < 0 or span < best):
+                            best = span
+            else:
+                # two-pointer minimal cover: window [lo, hi] over the
+                # sorted position stream; shrink lo while all n_terms
+                # tags covered
+                counts = np.zeros(n_terms, dtype=np.int64)
+                covered = 0
+                lo = 0
+                for hi in range(p.size):
+                    th = int(t[hi])
+                    counts[th] += 1
+                    if counts[th] == 1:
+                        covered += 1
+                    while covered == n_terms:
+                        span = int(p[hi] - p[lo])
+                        if best < 0 or span < best:
+                            best = span
+                        tl = int(t[lo])
+                        counts[tl] -= 1
+                        if counts[tl] == 0:
+                            covered -= 1
+                        lo += 1
             if 0 <= best <= window:
                 out_docs.append(int(docs[s]))
                 out_spans.append(best)

@@ -242,6 +242,48 @@ def test_near_absent_term_empty(engine):
     assert engine.near_search("table zz_nope", 100, k=10).count() == 0
 
 
+@pytest.mark.parametrize(
+    "q,window",
+    [
+        ("query table", 8),      # order matters: p8 has query..table
+        ("table query", 8),
+        ("query query query", 6),  # repeated token: needs 3 ascending
+        ("stream batch filter", 5),
+        ("table far", 100),
+    ],
+)
+def test_near_ordered_matches_bruteforce(engine, q, window):
+    texts = _ids_and_texts(engine)
+    expected = near_spans(texts, q, window, ordered=True)
+    got = [
+        (r["doc_id"], r["span"])
+        for r in engine.near_search(q, window, k=100, ordered=True).collect()
+    ]
+    assert got == expected
+
+
+def test_near_ordered_direction_differs(engine):
+    """'table ... query' vs 'query ... table' must differ on the fixture
+    (doc p6 has them adjacent in one order only) — proving order is real."""
+    texts = _ids_and_texts(engine)
+    a = near_spans(texts, "table query", 2, ordered=True)
+    b = near_spans(texts, "query table", 2, ordered=True)
+    assert a != b  # fixture sanity
+    got_a = [
+        (r["doc_id"], r["span"])
+        for r in engine.near_search(
+            "table query", 2, k=100, ordered=True
+        ).collect()
+    ]
+    got_b = [
+        (r["doc_id"], r["span"])
+        for r in engine.near_search(
+            "query table", 2, k=100, ordered=True
+        ).collect()
+    ]
+    assert got_a == a and got_b == b
+
+
 # ---------------------------------------------------------------------------
 # suggest / more-like-this
 # ---------------------------------------------------------------------------
