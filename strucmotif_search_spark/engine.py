@@ -593,6 +593,30 @@ class SearchEngine:
             content_col=content_col,
         )
 
+    def delete_by_query(self, query: str, mode: str = "or") -> str:
+        """Admin operator (the Elasticsearch delete_by_query shape): remove
+        EVERY document matching ``query`` (the full match set, not a top-k)
+        in ONE incremental REMOVE generation — snapshot-atomic, O(affected
+        shards) posting surgery, exact df/cf shrink, lineage-logged
+        (streaming/incremental.py remove_documents).
+
+        The match set comes from the index alone (analytics.match_set:
+        pushed-down posting scan, no scoring, no corpus read); its doc_ids
+        join doc_map for the natural keys the REMOVE path consumes.
+        Returns the new generation id.  This engine's cached tables then
+        describe the PREVIOUS generation — construct a fresh SearchEngine
+        to query the result (same contract as add/remove_documents)."""
+        from .query.analytics import match_set
+        from .streaming.incremental import remove_documents
+
+        matched = match_set(self, query, mode=mode)
+        if matched is None:
+            matched = self.spark.createDataFrame([], "doc_id long")
+        keys = self.doc_map.join(matched, on="doc_id", how="left_semi").select(
+            "repo", "path", "commit"
+        )
+        return remove_documents(self.spark, self.store, keys)
+
     def search_with_timeout(
         self, query: str, timeout_s: float, k: int = 10, mode: str = "or", **kw
     ):

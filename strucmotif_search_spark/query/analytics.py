@@ -77,6 +77,26 @@ def facet_counts(
     set is small, shuffles otherwise.  Reference analogue: result-set
     grouping over the hit list (SURVEY §2 P8 hit projection family).
     """
+    matched = match_set(engine, query, mode=mode)
+    if matched is None:
+        return engine.spark.createDataFrame(
+            [], schema=f"{facet_col} string, n_docs long"
+        )
+    dm = engine.doc_map.select("doc_id", facet_col)
+    return matched.join(dm, on="doc_id").groupBy(facet_col).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+def match_set(engine, query: str, mode: str = "or") -> DataFrame | None:
+    """The FULL match set of a query as a ``(doc_id)`` DataFrame (every
+    matching document, unranked, no scores) — the shared core of
+    facet_counts and delete_by_query.  Returns None when the match set is
+    provably empty driver-side (absent term under AND / empty query).
+
+    Plan: pushed-down ``In(term_id)`` posting scan (S6), per-block doc-id
+    decode, OR = distinct / AND = per-doc distinct-term count == n (A6);
+    shuffles carry fixed-width (doc_id) rows of the match set only."""
     from .planner import plan_query
 
     plan = plan_query(
@@ -86,27 +106,19 @@ def facet_counts(
         stats_row=engine._stats_row,
         vocab_lookup=engine._vocab_lookup,
     )
-    empty = engine.spark.createDataFrame(
-        [], schema=f"{facet_col} string, n_docs long"
-    )
     if not plan.term_ids or (mode == "and" and plan.n_absent):
-        return empty
+        return None
     decoded = decode_postings(
         engine.postings.where(F.col("term_id").isin(plan.term_ids))
     )
     if mode == "and":
-        matched = (
+        return (
             decoded.groupBy("doc_id")
             .agg(F.count_distinct("term_id").alias("ng"))
             .where(F.col("ng") == len(plan.term_ids))
             .select("doc_id")
         )
-    else:
-        matched = decoded.select("doc_id").distinct()
-    dm = engine.doc_map.select("doc_id", facet_col)
-    return matched.join(dm, on="doc_id").groupBy(facet_col).agg(
-        F.count("*").cast("long").alias("n_docs")
-    )
+    return decoded.select("doc_id").distinct()
 
 
 def suggest_terms(engine, prefix: str, n: int = 10) -> DataFrame:

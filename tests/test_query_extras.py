@@ -448,3 +448,73 @@ def test_snippet_window_rule(engine, spark):
         first = min(i for i, w in enumerate(toks) if w in qterms)
         lo = max(0, first - ctx)
         assert r["snippet"] == " ".join(toks[lo: lo + 2 * ctx + 1])
+
+
+# ---------------------------------------------------------------------------
+# delete-by-query
+# ---------------------------------------------------------------------------
+
+def test_delete_by_query_removes_full_match_set(spark, tmp_path_factory):
+    from strucmotif_search_spark.streaming.incremental import (
+        verify_consistency,
+    )
+
+    store = IndexStore(tmp_path_factory.mktemp("dbq"))
+    docs = spark.createDataFrame(
+        DOCS,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    build_index(
+        spark, docs, store, docs_per_shard=4, shards_per_chunk=1 << 20,
+        checkpoint_partials=False, with_positions=True,
+    )
+    eng = SearchEngine(spark, store)
+    n_before = eng.doc_map.count()
+    n_matching = eng.search("stream", k=1000, with_meta=False).count()
+    assert n_matching > 0
+
+    eng.delete_by_query("stream", mode="or")
+    eng2 = SearchEngine(spark, store)
+    # every match gone; the index equals a from-scratch build over survivors
+    assert eng2.search("stream", k=10, with_meta=False).count() == 0
+    assert eng2.doc_map.count() == n_before - n_matching
+    assert verify_consistency(spark, store) == {
+        "orphan_doc_ids": 0,
+        "inconsistent_terms": 0,
+    }
+    # surviving docs still rank identically vs an oracle over survivors
+    survivors = {
+        (r["repo"], r["path"], r["commit"])
+        for r in eng2.doc_map.select("repo", "path", "commit").collect()
+    }
+    texts = {}
+    dm = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in eng2.doc_map.collect()
+    }
+    for (rp, p, c, _l, t) in DOCS:
+        if (rp, p, c) in survivors:
+            texts[dm[(rp, p, c)]] = t
+    idx = build_oracle(sorted(texts), [texts[d] for d in sorted(texts)])
+    expected = bm25_topk(idx, "table query", k=100)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in eng2.search("table query", k=100, with_meta=False).collect()
+    ]
+    assert got == expected
+
+
+def test_delete_by_query_absent_is_noop(spark, tmp_path_factory):
+    store = IndexStore(tmp_path_factory.mktemp("dbq2"))
+    docs = spark.createDataFrame(
+        DOCS[:4],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    build_index(
+        spark, docs, store, docs_per_shard=4, shards_per_chunk=1 << 20,
+        checkpoint_partials=False,
+    )
+    eng = SearchEngine(spark, store)
+    eng.delete_by_query("zz_absent", mode="or")
+    eng2 = SearchEngine(spark, store)
+    assert eng2.doc_map.count() == 4
