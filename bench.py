@@ -1178,6 +1178,72 @@ def main() -> None:
     queries["q14_query_compacted"] = round(best, 3)
     log(f"[bench] refs-gen query {queries['q13_query_refs_gen']}s -> "
         f"compacted {queries['q14_query_compacted']}s")
+
+    # ---- query latency at scale (north-rule "query p95 latency") ----
+    # The sf0.1 suite (5k docs) prices Spark fixed overhead, not index
+    # scale.  This section builds the SAME deterministic synthetic corpus
+    # the scaling pairs use, 48x larger, on the suite's local[cpus]
+    # session, and replays the query taxonomy against it — so the recorded
+    # p95 is a function of index size (posting-list length, shard count,
+    # block-skip effectiveness), not of a toy corpus.  Failures degrade to
+    # missing rows, never a dead bench artifact.
+    at_scale_docs = int(os.environ.get("SPARK_GRAFT_QSCALE_DOCS", "240000"))
+    if at_scale_docs > 0:
+        try:
+            import shutil
+
+            big_root = tempfile.mkdtemp(prefix="bench_qscale_")
+            big = generate_corpus(
+                spark, at_scale_docs, seed=7, partitions=cpus * 2
+            ).persist()
+            big.count()  # corpus generation priced outside the build row
+            t0 = time.time()
+            build_index(
+                spark, big, IndexStore(big_root),
+                docs_per_shard=max(at_scale_docs // (cpus * 4), 256),
+                shards_per_chunk=1 << 20,
+                checkpoint_partials=False, with_positions=True,
+            )
+            wall = time.time() - t0
+            queries["at_scale_build"] = round(wall, 3)
+            log(f"[bench] at-scale build ({at_scale_docs} docs, positional): "
+                f"{wall:.1f}s ({at_scale_docs / wall:.0f} docs/s)")
+            big.unpersist()
+            big_engine = SearchEngine(spark, IndexStore(big_root))
+            big_engine.search("v_00009", k=5, with_meta=False).collect()
+            # taxonomy mirror of q01..q10 over the synthetic Zipf vocabulary
+            # (v_00000 = Zipf head; 'import' appears in >=90% of docs; high
+            # vocab indices are the rare tail)
+            at_scale_suite = {
+                "at_scale_rare_single": ("v_15000", "or", 10),
+                "at_scale_head_term": ("import", "or", 10),
+                "at_scale_two_mid": ("v_00500 v_00700", "or", 10),
+                "at_scale_rare_and_head": ("v_15000 import", "and", 10),
+                "at_scale_five_or":
+                    ("v_00200 v_00500 v_00700 v_01000 v_02000", "or", 10),
+                "at_scale_large_k": ("v_00500 v_00700", "or", 10000),
+            }
+            for name, (q, mode, k) in at_scale_suite.items():
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.time()
+                    big_engine.search(
+                        q, k=k, mode=mode, with_meta=False
+                    ).collect()
+                    best = min(best, time.time() - t0)
+                queries[name] = round(best, 3)
+                log(f"[bench] {name}: {best*1000:.0f} ms")
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                big_engine.phrase_search("v_00000 v_00001", k=10).collect()
+                best = min(best, time.time() - t0)
+            queries["at_scale_phrase"] = round(best, 3)
+            log(f"[bench] at_scale_phrase: {best*1000:.0f} ms")
+            shutil.rmtree(big_root, ignore_errors=True)
+        except Exception as exc:  # noqa: BLE001 — degrade, don't kill bench
+            log(f"[bench] at-scale section failed (skipping): {exc!r}")
+
     spark.stop()
 
     # ---- scaling evidence: N vs 4N executors, same input ----
@@ -1202,11 +1268,23 @@ def main() -> None:
     # (pure query latencies; build/op_* rows are throughput benches)
     q_lat = sorted(v for k, v in queries.items() if k.startswith("q"))
     p95 = q_lat[min(len(q_lat) - 1, int(0.95 * len(q_lat)))] if q_lat else None
+    # at-scale p95 kept separate: same taxonomy, 48x the corpus (see the
+    # at-scale section above); excludes the build row (a throughput bench)
+    qs_lat = sorted(
+        v for k, v in queries.items()
+        if k.startswith("at_scale_") and k != "at_scale_build"
+    )
+    p95_scale = (
+        qs_lat[min(len(qs_lat) - 1, int(0.95 * len(qs_lat)))]
+        if qs_lat else None
+    )
     result = {
         "metric": "index-build throughput + BM25 query suite + N-vs-4N scaling",
         "value": round(total, 2),
         "unit": "sec",
         "query_p95_sec": p95,
+        "query_p95_at_scale_sec": p95_scale,
+        "at_scale_docs": at_scale_docs if qs_lat else None,
         "queries": queries,
         "sf": sf,
         "build": {
