@@ -242,6 +242,85 @@ ORDER BY sc.s DESC, {tie_order} LIMIT {k}{f" OFFSET {offset}" if offset else ""}
 """
 
 
+def _bm25f_sql(
+    terms: list[str],
+    k: int,
+    mode: str,
+    field_expr: str = "source",
+    w_content: float = 1.0,
+    w_field: float = 1.0,
+) -> str:
+    """Fielded most_fields oracle (query/fielded.py replay): per-field BM25
+    (own df / avg length / length norm; the field side's N and avg include
+    zero-token docs, field_stats convention), combined cell =
+    w_content*c_content + w_field*c_field over the (doc, term) union, AND =
+    containment in either field per term.  Ties replay the engine's internal
+    doc order (source ASC, doc_id ASC) — field-only matches of one source
+    share bitwise-identical scores, so the boundary tie is structural here,
+    not hypothetical."""
+    vals = ",".join(f"('{t}')" for t in sorted(set(terms)))
+    having = (
+        "HAVING count(*) = (SELECT count(*) FROM q)" if mode == "and" else ""
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT avg(dl) FROM dl) AS avgdl),
+q(term) AS (VALUES {vals}),
+fx AS (
+  SELECT doc_id, unnest(regexp_extract_all({field_expr}, '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+ftf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM fx GROUP BY doc_id, term),
+fdl AS (SELECT doc_id,
+               len(regexp_extract_all({field_expr}, '{TOKEN_PATTERN}'))::DOUBLE AS fl
+        FROM documents),
+fst AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+               (SELECT avg(fl) FROM fdl) AS avgfl),
+qdfc AS (SELECT q.term,
+                (SELECT count(*) FROM tf WHERE tf.term = q.term)::DOUBLE AS df
+         FROM q),
+qdff AS (SELECT q.term,
+                (SELECT count(*) FROM ftf WHERE ftf.term = q.term)::DOUBLE AS df
+         FROM q),
+cc AS (
+  SELECT tf.doc_id, tf.term,
+         ln((st.n - qdfc.df + 0.5) / (qdfc.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf
+  JOIN qdfc ON tf.term = qdfc.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+),
+fc AS (
+  SELECT ftf.doc_id, ftf.term,
+         ln((fst.n - qdff.df + 0.5) / (qdff.df + 0.5) + 1.0)
+           * ftf.tf * 2.2
+           / (ftf.tf + 1.2 * (0.25 + 0.75 * fdl.fl / fst.avgfl)) AS c
+  FROM ftf
+  JOIN qdff ON ftf.term = qdff.term
+  JOIN fdl ON ftf.doc_id = fdl.doc_id
+  CROSS JOIN fst
+),
+u AS (
+  SELECT coalesce(cc.doc_id, fc.doc_id) AS doc_id,
+         {w_content} * coalesce(cc.c, 0.0) + {w_field} * coalesce(fc.c, 0.0) AS c
+  FROM cc FULL OUTER JOIN fc
+    ON cc.doc_id = fc.doc_id AND cc.term = fc.term
+),
+scores AS (SELECT doc_id, sum(c) AS s FROM u GROUP BY doc_id {having})
+SELECT sc.doc_id, round(sc.s, 4) AS score
+FROM scores sc JOIN documents td ON sc.doc_id = td.doc_id
+ORDER BY sc.s DESC, td.source ASC, sc.doc_id ASC LIMIT {k}
+"""
+
+
 _TOK_CTE = f"""
 tok AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
@@ -809,6 +888,32 @@ def _q_bm25_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     hits = eng.regex_search(
         "sup.*r", extra_terms="table", k=10, mode="or", with_meta=True
+    )
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_bm25_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded BM25 (query/fielded.py): weighted sum of content BM25 and
+    repo-field BM25 (repo == driver 'source', a field-only match for the
+    'src18' term), Lucene most_fields convention, field weight 2x."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.fielded_search(
+        "value src18", field="repo", k=10, mode="or", w_field=2.0
+    )
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_bm25_fielded_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded AND: every term must match in content OR the repo field —
+    'src18' only ever matches through the field, so this is the
+    cross-field conjunction (docs of source src18 containing 'value')."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.fielded_search(
+        "value src18", field="repo", k=10, mode="and", w_field=2.0
     )
     return _orig_doc_id(hits).select(
         "doc_id", F.round("score", 4).alias("score")
@@ -1498,6 +1603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_bm25_page2": _q_bm25_page2,
             "ii_bm25_search_after": _q_bm25_search_after,
             "ii_bm25_regex": _q_bm25_regex,
+            "ii_bm25_fielded": _q_bm25_fielded,
+            "ii_bm25_fielded_and": _q_bm25_fielded_and,
             "ii_explain": _q_explain,
             "sim_cosine_topk": _q_cosine_topk,
             "sim_embedding_near_dup": _q_embedding_near_dup,
@@ -1555,6 +1662,12 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
     )
     sql["ii_bm25_fuzzy"] = _bm25_expanded_sql(
         {"stream": []}, 10, "or", lev_groups={"customer~": ("customer", 1)}
+    )
+    sql["ii_bm25_fielded"] = _bm25f_sql(
+        ["value", "src18"], 10, "or", w_field=2.0
+    )
+    sql["ii_bm25_fielded_and"] = _bm25f_sql(
+        ["value", "src18"], 10, "and", w_field=2.0
     )
     sql["ii_bm25_regex"] = _bm25_expanded_sql(
         {"table": []}, 10, "or", regex_groups={"rx": "sup.*r"}

@@ -87,6 +87,10 @@ class SearchEngine:
 
         self._pred_norms: OrderedDict[str, DataFrame] = OrderedDict()
         self._pred_norms_cap = 8
+        # derived field-posting cache (fielded_search): field name ->
+        # (persisted postings DF, (n_docs, avg_fieldlen)).  Bounded by the
+        # doc_map's handful of string columns, so no eviction needed.
+        self._field_cache: dict[str, tuple[DataFrame, tuple[int, float]]] = {}
 
     # ---- planning ------------------------------------------------------
     def _vocab_lookup(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -459,6 +463,53 @@ class SearchEngine:
             docs_per_shard=self.meta["docs_per_shard"],
             k=k,
             mu=QL_MU if mu is None else mu,
+        )
+        return self._materialize(hits, k) if with_meta else hits
+
+    def fielded_search(
+        self,
+        query: str,
+        field: str = "path",
+        k: int = 10,
+        mode: str = "or",
+        w_content: float = 1.0,
+        w_field: float = 1.0,
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """Multi-field BM25 (query/fielded.py): weighted sum of content BM25
+        (from the index) and a doc_map string field's BM25 (derived posting
+        table, persisted once per field).  ``field`` names any doc_map
+        string column (path, repo, lang); per-field df/avgdl, Lucene
+        most_fields convention.  A term absent from the content vocabulary
+        still matches through the field, and vice versa; AND mode requires
+        every query term in at least one of the two fields."""
+        from .oracle import tokenize
+        from .query.fielded import field_postings, field_stats, fielded_topk
+
+        toks = sorted(set(tokenize(query)))
+        if field not in self._field_cache:
+            fp = field_postings(self.doc_map, field).persist()
+            fp.count()
+            self._field_cache[field] = (fp, field_stats(self.doc_map, field))
+        fp, (fn_docs, avg_fl) = self._field_cache[field]
+        plan = self.plan(query)
+        # singleton groups: key == the term's term_id (planner.TermGroup)
+        found = self._vocab_lookup(toks)
+        term_of_key = {tid: t for t, (tid, _df) in found.items()}
+        hits = fielded_topk(
+            self.spark,
+            self.postings,
+            self.doc_map,  # (doc_id, doclen) provider for the content side
+            plan,
+            fp,
+            fn_docs,
+            avg_fl,
+            toks,
+            term_of_key,
+            k=k,
+            mode=mode,
+            w_content=w_content,
+            w_field=w_field,
         )
         return self._materialize(hits, k) if with_meta else hits
 

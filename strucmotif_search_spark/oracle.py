@@ -187,6 +187,68 @@ def bm25_topk(
     return ranked[:k]
 
 
+def bm25f_topk(
+    content: OracleIndex,
+    fld: OracleIndex,
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    w_content: float = 1.0,
+    w_field: float = 1.0,
+) -> list[tuple[int, float]]:
+    """Fielded most_fields oracle — exact replica of query/fielded.py.
+
+    ``fld`` is an OracleIndex built over the field strings of ALL docs (so
+    its n_docs/avgdl match field_stats' corpus-wide convention).  Per term,
+    per field: BM25 with that field's df/avgdl/length; combined cell =
+    w_content*c_content + w_field*c_field over the UNION of matching docs;
+    per-doc sum in ascending-term order (the engine's array_sort contract);
+    AND mode keeps docs matching every term in at least one field.
+    Float64 parity: same primitive decomposition as ``bm25_topk`` (numpy
+    elementwise, math.log idf), summed left-to-right per doc.
+    """
+    terms = sorted(set(tokenize(query)))
+    if not terms:
+        return []
+
+    def side(ix: OracleIndex) -> dict[str, dict[int, float]]:
+        out: dict[str, dict[int, float]] = {}
+        for t in terms:
+            p = ix.postings.get(t)
+            if p is None:
+                continue
+            ds, tfs = p
+            w = idf(ix.n_docs, ix.df[t])
+            tf = tfs.astype(np.float64)
+            row = np.searchsorted(ix.doc_ids, ds)
+            dl = ix.doclens[row].astype(np.float64)
+            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / ix.avgdl)
+            contrib = w * (tf * (BM25_K1 + 1.0)) / denom
+            out[t] = dict(zip(ds.tolist(), contrib.tolist()))
+        return out
+
+    cs, fs = side(content), side(fld)
+    cell: dict[tuple[int, str], float] = {}
+    matched: dict[int, set[str]] = {}
+    for t in terms:
+        docs = set(cs.get(t, {})) | set(fs.get(t, {}))
+        for d in docs:
+            cell[(d, t)] = (
+                w_content * cs.get(t, {}).get(d, 0.0)
+                + w_field * fs.get(t, {}).get(d, 0.0)
+            )
+            matched.setdefault(d, set()).add(t)
+    if mode == "and":
+        matched = {d: s for d, s in matched.items() if len(s) == len(terms)}
+    scores: dict[int, float] = {}
+    for d, ts in matched.items():
+        s = 0.0
+        for t in sorted(ts):
+            s += cell[(d, t)]
+        scores[d] = s
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
 def ql_topk(
     index: OracleIndex, query: str, k: int = 10, mu: float = 2000.0
 ) -> list[tuple[int, float]]:

@@ -37,20 +37,17 @@ def _empty_result(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], "doc_id long, score double")
 
 
-def bm25_topk_naive(
-    spark: SparkSession,
+def bm25_group_contribs(
     postings: DataFrame,
     norms_decoded: DataFrame,  # (doc_id, doclen) — doc_map works too
     plan: QueryPlan,
-    k: int = 10,
-    mode: str = "or",
-    allowed: DataFrame | None = None,
-    excluded: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-k (doc_id, score) DataFrame. Deterministic: ties -> doc_id asc."""
-    if plan.empty_or or (mode == "and" and plan.empty_and):
-        return _empty_result(spark)
+    """Per-(doc, scoring-group) BM25 contributions: (doc_id, gkey, contrib).
 
+    The shared first half of the naive plan — also the content side of the
+    fielded scorer (query/fielded.py), which needs contributions at group
+    granularity (not per-doc sums) to full-outer-join them with a second
+    field's contributions before the combined top-k."""
     q_ids = sorted({tid for g in plan.groups for tid in g.member_ids})
     blocks = postings.where(F.col("term_id").isin(q_ids))
     decoded = decode_postings(blocks)
@@ -81,7 +78,24 @@ def bm25_topk_naive(
             * (1.0 - plan.b + plan.b * F.col("doclen") / F.lit(plan.avgdl))
         )
     )
-    d = d.withColumn("contrib", contrib.cast("double"))
+    return d.withColumn("contrib", contrib.cast("double"))
+
+
+def bm25_topk_naive(
+    spark: SparkSession,
+    postings: DataFrame,
+    norms_decoded: DataFrame,  # (doc_id, doclen) — doc_map works too
+    plan: QueryPlan,
+    k: int = 10,
+    mode: str = "or",
+    allowed: DataFrame | None = None,
+    excluded: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k (doc_id, score) DataFrame. Deterministic: ties -> doc_id asc."""
+    if plan.empty_or or (mode == "and" and plan.empty_and):
+        return _empty_result(spark)
+
+    d = bm25_group_contribs(postings, norms_decoded, plan)
 
     # deterministic float64 summation: ascending group key within each doc
     per_doc = d.groupBy("doc_id").agg(
