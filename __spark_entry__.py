@@ -129,6 +129,40 @@ def _incr_engine(spark: SparkSession, sf_dir: str, kind: str) -> SearchEngine:
     return _ENGINES[key]
 
 
+def _code_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Engine over a code-flavored corpus with the 'code' analyzer: the
+    driver text is all-lowercase, so camelCase material is synthesized
+    deterministically ('value' -> 'getValue', 'table' -> 'TableScan' —
+    plain substring replaces, replayed verbatim in the DuckDB oracle) and
+    the index is built with analyzer='code' (camel/snake subtoken split +
+    casefold, tokenizer.analyze_expr)."""
+    key = f"{id(spark)}|{sf_dir}|code"
+    if key not in _ENGINES:
+        import tempfile
+
+        docs = _docs(spark, sf_dir)
+        code_text = F.regexp_replace(
+            F.regexp_replace(F.col("text"), "value", "getValue"),
+            "table", "TableScan",
+        )
+        corpus = docs.select(
+            F.col("source").alias("repo"),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
+            F.md5(F.col("text")).alias("commit"),
+            F.col("lang"),
+            code_text.alias("content"),
+        )
+        root = tempfile.mkdtemp(prefix="ssx_code_")
+        store = IndexStore(root)
+        build_index(
+            spark, corpus, store, docs_per_shard=512,
+            shards_per_chunk=1 << 20, checkpoint_partials=False,
+            analyzer="code",
+        )
+        _ENGINES[key] = SearchEngine(spark, store)
+    return _ENGINES[key]
+
+
 def _orig_doc_id(df: DataFrame) -> DataFrame:
     """Map engine hits back to the driver table's doc_id via the path field."""
     eng_cols = [c for c in df.columns if c not in ("repo", "path", "commit", "lang")]
@@ -239,6 +273,56 @@ scores AS (
 SELECT sc.doc_id, round(sc.s, 4) AS score
 FROM scores sc {filt_join} {tie_join} {excl_where}
 ORDER BY sc.s DESC, {tie_order} LIMIT {k}{f" OFFSET {offset}" if offset else ""}
+"""
+
+
+def _bm25_code_sql(terms: list[str], k: int) -> str:
+    """Oracle for the code-analyzed gate: replay the deterministic corpus
+    transform (substring replaces) and the code analyzer (acronym-aware
+    camel split, snake split, casefold — tokenizer._CODE_RULES) in DuckDB,
+    then standard BM25.  ``terms`` are the ALREADY-ANALYZED query tokens."""
+    vals = ",".join(f"('{t}')" for t in sorted(set(terms)))
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         replace(replace(text, 'value', 'getValue'), 'table', 'TableScan') AS t
+  FROM documents
+),
+an AS (
+  SELECT doc_id,
+         lower(regexp_replace(regexp_replace(regexp_replace(t,
+             '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+             '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+             '_', ' ', 'g')) AS t
+  FROM base
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, '{TOKEN_PATTERN}')) AS term
+  FROM an
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+q(term) AS (VALUES {vals}),
+qdf AS (
+  SELECT q.term,
+         (SELECT count(*) FROM tf WHERE tf.term = q.term)::DOUBLE AS df
+  FROM q
+),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln((st.n - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf
+  JOIN qdf ON tf.term = qdf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+),
+scores AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id)
+SELECT sc.doc_id, round(sc.s, 4) AS score
+FROM scores sc JOIN documents td ON sc.doc_id = td.doc_id
+ORDER BY sc.s DESC, td.source ASC, sc.doc_id ASC LIMIT {k}
 """
 
 
@@ -889,6 +973,17 @@ def _q_bm25_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = eng.regex_search(
         "sup.*r", extra_terms="table", k=10, mode="or", with_meta=True
     )
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_bm25_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the code-analyzed index: the camelCase query 'getValue'
+    splits to get+value and matches the subtokenized corpus; scores use the
+    analyzed df/doclen/avgdl statistics."""
+    eng = _code_engine(spark, sf_dir)
+    hits = eng.search("getValue scan", k=10, mode="or", with_meta=True)
     return _orig_doc_id(hits).select(
         "doc_id", F.round("score", 4).alias("score")
     )
@@ -1603,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_bm25_page2": _q_bm25_page2,
             "ii_bm25_search_after": _q_bm25_search_after,
             "ii_bm25_regex": _q_bm25_regex,
+            "ii_bm25_code": _q_bm25_code,
             "ii_bm25_fielded": _q_bm25_fielded,
             "ii_bm25_fielded_and": _q_bm25_fielded_and,
             "ii_explain": _q_explain,
@@ -1663,6 +1759,7 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
     sql["ii_bm25_fuzzy"] = _bm25_expanded_sql(
         {"stream": []}, 10, "or", lev_groups={"customer~": ("customer", 1)}
     )
+    sql["ii_bm25_code"] = _bm25_code_sql(["get", "value", "scan"], 10)
     sql["ii_bm25_fielded"] = _bm25f_sql(
         ["value", "src18"], 10, "or", w_field=2.0
     )

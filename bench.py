@@ -1194,6 +1194,36 @@ def main() -> None:
     log(f"[bench] refs-gen query {queries['q13_query_refs_gen']}s -> "
         f"compacted {queries['q14_query_compacted']}s")
 
+    # ---- concurrent query throughput (reference runs per-query threads,
+    # StrucmotifConfig.java:34) ---- 8 client threads submit the q01-q10
+    # suite as overlapping Spark jobs on one session; QPS vs the sequential
+    # sum shows scheduler-level query concurrency, not just per-query speed
+    import concurrent.futures as _cf
+
+    def _one(args):
+        q, mode, k = args
+        engine.search(q, k=k, mode=mode, with_meta=False).collect()
+
+    _suite = list(QUERY_SUITE.values())
+    conc_wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        with _cf.ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(_one, _suite * 2))  # 20 queries, 8 in flight
+        conc_wall = min(conc_wall, time.time() - t0)
+    seq_sum = 2 * sum(queries[name] for name in QUERY_SUITE)
+    queries["op_concurrent_20q"] = round(conc_wall, 3)
+    concurrency = {
+        "n_queries": len(_suite) * 2,
+        "client_threads": 8,
+        "wall_sec": round(conc_wall, 3),
+        "qps": round(len(_suite) * 2 / conc_wall, 2),
+        "speedup_vs_sequential": round(seq_sum / conc_wall, 2),
+    }
+    log(f"[bench] concurrent 20q x8 threads: {conc_wall:.2f}s "
+        f"({concurrency['qps']} qps, {concurrency['speedup_vs_sequential']}x "
+        "vs sequential sum)")
+
     # ---- query latency at scale (north-rule "query p95 latency") ----
     # The sf0.1 suite (5k docs) prices Spark fixed overhead, not index
     # scale.  This section builds the SAME deterministic synthetic corpus
@@ -1300,6 +1330,7 @@ def main() -> None:
         "query_p95_sec": p95,
         "query_p95_at_scale_sec": p95_scale,
         "at_scale_docs": at_scale_docs if qs_lat else None,
+        "concurrency": concurrency,
         "queries": queries,
         "sf": sf,
         "build": {

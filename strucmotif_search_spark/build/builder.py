@@ -56,9 +56,16 @@ def build_index(
     gen: str | None = None,
     checkpoint_partials: bool = True,
     with_positions: bool = False,
+    analyzer: str = "standard",
 ) -> str:
     """Build (or resume building) a full index generation from a source table
     of shape (repo, path, commit, lang, content).  Returns the published gen.
+
+    ``analyzer``: token pre-transform (tokenizer.ANALYZERS) — 'standard'
+    (frozen contract) or 'code' (camelCase/snake_case subtoken split +
+    casefold).  Recorded in the generation's _meta.json so the query layer
+    and incremental updates replay the same analysis; the per-row
+    content_sha256 invariant always hashes the RAW content.
 
     Pass ``gen`` to resume an interrupted build of that generation.
 
@@ -115,7 +122,7 @@ def build_index(
         try:
             return _build_fused(
                 spark, docs, store, gen, docs_per_shard, content_col, t0,
-                with_positions=with_positions,
+                with_positions=with_positions, analyzer=analyzer,
             )
         finally:
             for key, old in old_conf.items():
@@ -131,7 +138,10 @@ def build_index(
 
     # ---- stage doc_map ------------------------------------------------
     if not store.stage_done(gen, "doc_map"):
-        dm = build_doc_map(docs, docs_per_shard=docs_per_shard, content_col=content_col)
+        dm = build_doc_map(
+            docs, docs_per_shard=docs_per_shard, content_col=content_col,
+            analyzer=analyzer,
+        )
         store.write_table(dm, "doc_map", gen)
         n_docs = store.read_table(spark, "doc_map", gen).count()
         store.log(gen=gen, stage="doc_map", status="done", n_docs=n_docs)
@@ -154,7 +164,9 @@ def build_index(
         tc = time.time()
         store.log(gen=gen, stage="partials", chunk=chunk, status="start")
         chunk_docs = docs_keyed.where(F.col("chunk") == chunk)
-        tf = term_frequencies(chunk_docs, content_col=content_col)
+        tf = term_frequencies(
+            chunk_docs, content_col=content_col, analyzer=analyzer
+        )
         tf = tf.join(
             doc_map.select("doc_id", "shard").where(
                 _chunk_of(F.col("shard"), shards_per_chunk) == chunk
@@ -223,6 +235,7 @@ def build_index(
                 "shards_per_chunk": shards_per_chunk,
                 "n_shards": int(n_shards),
                 "n_chunks": int(n_chunks),
+                "analyzer": analyzer,
             }
         )
     )
@@ -243,6 +256,7 @@ def _build_fused(
     content_col: str,
     t0: float,
     with_positions: bool = False,
+    analyzer: str = "standard",
 ) -> str:
     """One-shot fused build: exactly TWO passes over document content
     (sha256 metadata; tokenize).  The SPIMI stage-1 tf table is spilled once
@@ -305,7 +319,7 @@ def _build_fused(
     # kernel from doc_id — no 10^8-row dictionary join.
     tf = packed_term_runs(
         docs_keyed, docs_per_shard=docs_per_shard, content_col=content_col,
-        with_positions=with_positions, with_sha=True,
+        with_positions=with_positions, with_sha=True, analyzer=analyzer,
     )
     # Spill the SPIMI runs as parquet, SHUFFLED BY SHARD AND SORTED
     # (shard, term, first_doc) — the build's one big shuffle.  Downstream:
@@ -562,7 +576,8 @@ def _build_fused(
     ).write_text(json.dumps({"docs_per_shard": docs_per_shard,
                              "shards_per_chunk": 1, "n_chunks": 1,
                              "n_shards": n_shards,
-                             "with_positions": with_positions}))
+                             "with_positions": with_positions,
+                             "analyzer": analyzer}))
     store.publish(gen)
     store.log(gen=gen, stage="commit", status="done",
               wall_ms=int((time.time() - t0) * 1000), n_chunks=1)

@@ -34,13 +34,15 @@ def build_doc_map(
     docs_per_shard: int = 8192,
     content_col: str = "content",
     start_doc_id: int = 0,
+    analyzer: str = "standard",
 ) -> DataFrame:
-    """Source table (repo,path,commit,lang,content) -> doc_map."""
+    """Source table (repo,path,commit,lang,content) -> doc_map.  The
+    sha256 invariant hashes RAW content; doclen counts analyzed tokens."""
     enriched = docs.select(
         *DOC_KEY,
         "lang",
         F.sha2(F.col(content_col), 256).alias("content_sha256"),
-        doclen_expr(F.col(content_col)).cast("long").alias("doclen"),
+        doclen_expr(F.col(content_col), analyzer).cast("long").alias("doclen"),
     )
     with_ids = assign_sorted_rank(enriched, DOC_KEY, "doc_id", start=start_doc_id)
     return with_ids.select(

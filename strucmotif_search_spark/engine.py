@@ -87,6 +87,10 @@ class SearchEngine:
 
         self._pred_norms: OrderedDict[str, DataFrame] = OrderedDict()
         self._pred_norms_cap = 8
+        # the generation's token analyzer — query strings are run through
+        # the SAME analysis (driver-side replica) before planning, so a
+        # code-analyzed index answers 'getFoo' as get+foo
+        self.analyzer = self.meta.get("analyzer", "standard")
         # derived field-posting cache (fielded_search): field name ->
         # (persisted postings DF, (n_docs, avg_fieldlen)).  Bounded by the
         # doc_map's handful of string columns, so no eviction needed.
@@ -190,6 +194,13 @@ class SearchEngine:
         expansions form one scoring group whose posting lists are unioned
         (tf sums, df = max member df — Lucene SynonymQuery convention).
         """
+        from .tokenizer import analyze_text
+
+        query = analyze_text(query, self.analyzer)
+        if exclude:
+            exclude = analyze_text(exclude, self.analyzer)
+        if should:
+            should = analyze_text(should, self.analyzer)
         plan = self.plan(query, expansions=expansions, should=should or "")
         if should is not None:
             mode = "bool"
@@ -440,7 +451,9 @@ class SearchEngine:
         index artifact, no extra shuffle."""
         from .oracle import tokenize
         from .query.ql import QL_MU, ql_topk
+        from .tokenizer import analyze_text
 
+        query = analyze_text(query, self.analyzer)
         distinct = sorted(set(tokenize(query)))
         found = self._vocab_lookup(distinct)
         present = sorted(found)  # drop absent terms
@@ -485,12 +498,16 @@ class SearchEngine:
         every query term in at least one of the two fields."""
         from .oracle import tokenize
         from .query.fielded import field_postings, field_stats, fielded_topk
+        from .tokenizer import analyze_text
 
+        query = analyze_text(query, self.analyzer)
         toks = sorted(set(tokenize(query)))
         if field not in self._field_cache:
-            fp = field_postings(self.doc_map, field).persist()
+            fp = field_postings(self.doc_map, field, self.analyzer).persist()
             fp.count()
-            self._field_cache[field] = (fp, field_stats(self.doc_map, field))
+            self._field_cache[field] = (
+                fp, field_stats(self.doc_map, field, self.analyzer)
+            )
         fp, (fn_docs, avg_fl) = self._field_cache[field]
         plan = self.plan(query)
         # singleton groups: key == the term's term_id (planner.TermGroup)
@@ -527,7 +544,9 @@ class SearchEngine:
                 "(build_index(..., with_positions=True))"
             )
         from .query.phrase import near_topk
+        from .tokenizer import analyze_text
 
+        query = analyze_text(query, self.analyzer)
         return near_topk(
             self.spark, self.postings, self.terms, query, window, k=k,
             ordered=ordered,
@@ -621,7 +640,9 @@ class SearchEngine:
                 "(build_index(..., with_positions=True))"
             )
         from .query.phrase import phrase_topk
+        from .tokenizer import analyze_text
 
+        phrase = analyze_text(phrase, self.analyzer)
         return phrase_topk(
             self.spark, self.postings, self.terms, phrase, k=k,
             decoded_blocks_acc=decoded_blocks_acc,

@@ -51,16 +51,23 @@ from .planner import QueryPlan, idf
 _CONTRIB_SCHEMA = "doc_id long, term string, c double"
 
 
-def field_postings(doc_map: DataFrame, field_col: str) -> DataFrame:
+def field_postings(
+    doc_map: DataFrame, field_col: str, analyzer: str = "standard"
+) -> DataFrame:
     """Derived posting table for a doc_map string column.
 
     (doc_id, fieldlen, term, tf) — tokenized with the engine's frozen
-    ``TOKEN_PATTERN`` (same admission rule as content, P5), all Catalyst
-    built-ins: regexp_extract_all -> explode -> groupBy.  Docs whose field
-    yields no tokens simply have no rows (they can never match, and the
-    field-length statistics below are computed over ALL docs separately).
+    ``TOKEN_PATTERN`` (same admission rule as content, P5) after the
+    generation's ``analyzer`` pre-transform, all Catalyst built-ins:
+    regexp_extract_all -> explode -> groupBy.  Docs whose field yields no
+    tokens simply have no rows (they can never match, and the field-length
+    statistics below are computed over ALL docs separately).
     """
-    toks = F.regexp_extract_all(F.col(field_col), F.lit(TOKEN_PATTERN), 0)
+    from ..tokenizer import analyze_expr
+
+    toks = F.regexp_extract_all(
+        analyze_expr(F.col(field_col), analyzer), F.lit(TOKEN_PATTERN), 0
+    )
     return (
         doc_map.select("doc_id", toks.alias("toks"))
         .withColumn("fieldlen", F.size("toks"))
@@ -70,10 +77,16 @@ def field_postings(doc_map: DataFrame, field_col: str) -> DataFrame:
     )
 
 
-def field_stats(doc_map: DataFrame, field_col: str) -> tuple[int, float]:
+def field_stats(
+    doc_map: DataFrame, field_col: str, analyzer: str = "standard"
+) -> tuple[int, float]:
     """(n_docs, avg_fieldlen) over ALL docs — zero-token fields count in the
     average, mirroring BM25's corpus-wide avgdl convention."""
-    toks = F.regexp_extract_all(F.col(field_col), F.lit(TOKEN_PATTERN), 0)
+    from ..tokenizer import analyze_expr
+
+    toks = F.regexp_extract_all(
+        analyze_expr(F.col(field_col), analyzer), F.lit(TOKEN_PATTERN), 0
+    )
     row = doc_map.select(
         F.count("*").alias("n"),
         F.avg(F.size(toks)).alias("avg_fl"),

@@ -166,7 +166,7 @@ def add_documents(
     # so the repacked shards keep phrase capability)
     tf_new = term_frequencies(
         unknown.join(ids, on=DOC_KEY), content_col=content_col,
-        with_positions=wp,
+        with_positions=wp, analyzer=meta.get("analyzer", "standard"),
     ).join(ids.select("doc_id", "shard"), on="doc_id").persist()
     tf_new.count()
 

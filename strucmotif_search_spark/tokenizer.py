@@ -81,15 +81,70 @@ TF_SHA_SCHEMA = _with_sha(TF_SCHEMA)
 TFP_SHA_SCHEMA = _with_sha(TFP_SCHEMA)
 
 
-def tokenize_expr(content: Column) -> Column:
+ANALYZERS = ("standard", "code")
+
+# code-analyzer split rules (applied in order, then casefold).  Kept to the
+# regex subset whose semantics are identical across Java (Spark), RE2
+# (DuckDB) and Python `re`: character classes, capture groups, left-to-right
+# non-overlapping global replace.
+_CODE_RULES = (
+    (r"([A-Z]+)([A-Z][a-z])", "ACRONYM_BOUNDARY"),  # HTTPServer -> HTTP Server
+    (r"([a-z0-9])([A-Z])", "HUMP_BOUNDARY"),        # getFoo -> get Foo
+    (r"_", "SNAKE_SEPARATOR"),                      # snake_case -> snake case
+)
+
+
+def analyze_expr(content: Column, analyzer: str = "standard") -> Column:
+    """Analyzer pre-transform as a Catalyst expression (JVM-side, codegen).
+
+    ``standard`` — identity: the frozen contract (P5 token admission).
+    ``code``     — source-code subtoken analysis (the Lucene
+    WordDelimiterGraph shape restricted to its deterministic core): split
+    camelCase humps acronym-aware (``HTTPServer2Go`` -> ``HTTP Server2 Go``),
+    turn ``_`` separators into spaces so snake_case splits under the frozen
+    ``TOKEN_PATTERN``, then casefold.  Composes as text -> text BEFORE the
+    (unchanged) tokenizer kernel, so the Arrow tf kernel, the SPIMI runs and
+    every downstream stage are analyzer-agnostic; digit-leading fragments
+    keep the standard admission rule (digits never start a token).
+    """
+    if analyzer == "standard":
+        return content
+    if analyzer != "code":
+        raise ValueError(f"unknown analyzer {analyzer!r} (have {ANALYZERS})")
+    c = F.regexp_replace(content, _CODE_RULES[0][0], r"$1 $2")
+    c = F.regexp_replace(c, _CODE_RULES[1][0], r"$1 $2")
+    c = F.regexp_replace(c, _CODE_RULES[2][0], " ")
+    return F.lower(c)
+
+
+def analyze_text(text: str, analyzer: str = "standard") -> str:
+    """Driver-side replica of :func:`analyze_expr` for QUERY strings (and
+    the test oracles) — same rules, Python ``re`` engine; identical output
+    for the portable regex subset used."""
+    if analyzer == "standard":
+        return text
+    if analyzer != "code":
+        raise ValueError(f"unknown analyzer {analyzer!r} (have {ANALYZERS})")
+    import re as _re
+
+    t = _re.sub(_CODE_RULES[0][0], r"\1 \2", text)
+    t = _re.sub(_CODE_RULES[1][0], r"\1 \2", t)
+    t = t.replace("_", " ")
+    return t.lower()
+
+
+def tokenize_expr(content: Column, analyzer: str = "standard") -> Column:
     """Token array column via Catalyst ``regexp_extract_all`` (JVM-side,
-    codegen).  Equivalent to the frozen contract."""
-    return F.regexp_extract_all(content, F.lit(TOKEN_PATTERN), 0)
+    codegen).  Equivalent to the frozen contract; ``analyzer`` applies the
+    matching pre-transform first."""
+    return F.regexp_extract_all(
+        analyze_expr(content, analyzer), F.lit(TOKEN_PATTERN), 0
+    )
 
 
-def doclen_expr(content: Column) -> Column:
+def doclen_expr(content: Column, analyzer: str = "standard") -> Column:
     """Token count per document as a Catalyst expression."""
-    return F.size(tokenize_expr(content))
+    return F.size(tokenize_expr(content, analyzer))
 
 
 def _tf_batches(
@@ -470,12 +525,15 @@ def packed_term_runs(
     content_col: str = "content",
     with_positions: bool = False,
     with_sha: bool = False,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """``(doc_id, content)`` -> packed SPIMI runs, one row per (shard, term)
     per Arrow batch (see module comment above).  ``with_sha`` computes the
     content digest JVM-side inside the same scan (``unhex(sha2(...))``) and
-    packs the raw 32-byte digests into the per-shard doc-metadata rows."""
-    cols = ["doc_id", F.col(content_col).alias("content")]
+    packs the raw 32-byte digests into the per-shard doc-metadata rows.
+    ``analyzer`` pre-transforms the tokenized text in the same scan; the
+    digest always hashes the RAW content column."""
+    cols = ["doc_id", analyze_expr(F.col(content_col), analyzer).alias("content")]
     if with_sha:
         cols.append(
             F.unhex(F.sha2(F.col(content_col), 256)).alias("content_sha256")
@@ -549,6 +607,7 @@ def term_frequencies(
     content_col: str = "content",
     with_positions: bool = False,
     with_sha: bool = False,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """``(doc_id, content)`` -> ``(doc_id, term, tf[, positions])`` via
     mapInPandas.
@@ -564,8 +623,11 @@ def term_frequencies(
     codegen during the content read), making this the build's ONLY pass
     over document content; token-less docs emit a (term '', tf 0) sentinel
     row so every doc's digest reaches the output.
+
+    ``analyzer`` pre-transforms content JVM-side inside the same scan; the
+    digest always hashes the RAW content column (input_hint invariant).
     """
-    cols = ["doc_id", F.col(content_col).alias("content")]
+    cols = ["doc_id", analyze_expr(F.col(content_col), analyzer).alias("content")]
     if with_sha:
         cols.append(F.sha2(F.col(content_col), 256).alias("content_sha256"))
     src = docs.select(*cols)
