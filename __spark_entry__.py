@@ -978,6 +978,72 @@ def _q_bm25_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MSEARCH_QUERIES = {
+    "t1": "table query",
+    "t2": "value stream",
+    "t3": "customer",
+}
+
+
+def _q_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query BM25 (query/msearch.py): three queries answered in
+    one pushed-down posting scan; each slice bitwise-equals the solo run."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.msearch(_MSEARCH_QUERIES, k=10, mode="or", with_meta=True)
+    return _orig_doc_id(hits).select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _msearch_sql(queries: dict[str, str], k: int) -> str:
+    """Per-query BM25 replay of the batch path: one qmap VALUES table, one
+    window rank per query_id."""
+    import re as _re
+
+    pairs = []
+    for qid, q in sorted(queries.items()):
+        for t in sorted(set(_re.findall(TOKEN_PATTERN, q))):
+            pairs.append(f"('{qid}','{t}')")
+    vals = ",".join(pairs)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+qmap(query_id, term) AS (VALUES {vals}),
+qdf AS (
+  SELECT qmap.query_id, qmap.term,
+         (SELECT count(*) FROM tf WHERE tf.term = qmap.term)::DOUBLE AS df
+  FROM qmap
+),
+contrib AS (
+  SELECT qdf.query_id, tf.doc_id,
+         ln((st.n - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf
+  JOIN qdf ON tf.term = qdf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+),
+scores AS (
+  SELECT query_id, doc_id, sum(c) AS s FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, s,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY s DESC, doc_id ASC
+         ) AS rn
+  FROM scores
+)
+SELECT query_id, doc_id, round(s, 4) AS score
+FROM ranked WHERE rn <= {k}
+"""
+
+
 def _q_bm25_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 over the code-analyzed index: the camelCase query 'getValue'
     splits to get+value and matches the subtokenized corpus; scores use the
@@ -1699,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_bm25_search_after": _q_bm25_search_after,
             "ii_bm25_regex": _q_bm25_regex,
             "ii_bm25_code": _q_bm25_code,
+            "ii_msearch": _q_msearch,
             "ii_bm25_fielded": _q_bm25_fielded,
             "ii_bm25_fielded_and": _q_bm25_fielded_and,
             "ii_explain": _q_explain,
@@ -1760,6 +1827,7 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
         {"stream": []}, 10, "or", lev_groups={"customer~": ("customer", 1)}
     )
     sql["ii_bm25_code"] = _bm25_code_sql(["get", "value", "scan"], 10)
+    sql["ii_msearch"] = _msearch_sql(_MSEARCH_QUERIES, 10)
     sql["ii_bm25_fielded"] = _bm25f_sql(
         ["value", "src18"], 10, "or", w_field=2.0
     )

@@ -1223,6 +1223,21 @@ def main() -> None:
     log(f"[bench] concurrent 20q x8 threads: {conc_wall:.2f}s "
         f"({concurrency['qps']} qps, {concurrency['speedup_vs_sequential']}x "
         "vs sequential sum)")
+    # batch msearch: the OR-mode suite queries answered in ONE index pass
+    # (union-of-terms scan + per-query window top-k) — the scan-amortization
+    # alternative to thread-level concurrency above
+    _ms = {
+        name: q for name, (q, mode, _k) in QUERY_SUITE.items() if mode == "or"
+    }
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        engine.msearch(_ms, k=10, mode="or").collect()
+        best = min(best, time.time() - t0)
+    queries["op_msearch_batch"] = round(best, 3)
+    _solo = sum(queries[name] for name in _ms)
+    log(f"[bench] msearch {len(_ms)}q one-pass: {best:.2f}s "
+        f"(vs {_solo:.2f}s solo sum)")
 
     # ---- query latency at scale (north-rule "query p95 latency") ----
     # The sf0.1 suite (5k docs) prices Spark fixed overhead, not index

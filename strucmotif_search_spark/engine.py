@@ -530,6 +530,41 @@ class SearchEngine:
         )
         return self._materialize(hits, k) if with_meta else hits
 
+    def msearch(
+        self,
+        queries: dict[str, str],
+        k: int = 10,
+        mode: str = "or",
+        with_meta: bool = False,
+    ) -> DataFrame:
+        """Batch BM25: answer every query in ``queries`` (query_id -> query
+        string) in ONE index pass (query/msearch.py) — one pushed-down
+        posting scan over the union of all query terms, per-query top-k via
+        a window.  Each query's slice is bitwise-identical to running it
+        alone.  Returns (query_id, doc_id, score[, metadata])."""
+        from .query.msearch import msearch_topk
+        from .tokenizer import analyze_text
+
+        plans = {
+            qid: self.plan(analyze_text(q, self.analyzer))
+            for qid, q in queries.items()
+        }
+        hits = msearch_topk(
+            self.spark, self.postings, self.doc_map, plans, k=k, mode=mode
+        )
+        if not with_meta:
+            return hits
+        return (
+            F.broadcast(hits)
+            .join(
+                self.doc_map.select(
+                    "doc_id", "repo", "path", "commit", "lang"
+                ),
+                on="doc_id",
+            )
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        )
+
     def near_search(
         self, query: str, window: int, k: int = 10, ordered: bool = False
     ) -> DataFrame:
