@@ -1081,6 +1081,83 @@ def _q_bm25_fielded_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_qualified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-qualified query syntax (engine.search_qualified): the
+    'repo:src18' clause scores only in the repo field (field-df BM25), the
+    unqualified clauses only in content; AND scopes each clause to its own
+    field."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.search_qualified("repo:src18 value table", k=10, mode="and")
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _qualified_sql(
+    content_terms: list[str], source_terms: list[str], k: int, mode: str
+) -> str:
+    """Oracle for the field-qualified gate: content clauses over the text
+    tokenization, source clauses over the source field's own tokenization /
+    df / avg length; AND = every clause matched in its own field."""
+    cvals = ",".join(f"('{t}')" for t in sorted(set(content_terms)))
+    fvals = ",".join(f"('{t}')" for t in sorted(set(source_terms)))
+    n_clauses = len(set(content_terms)) + len(set(source_terms))
+    having = f"HAVING count(*) = {n_clauses}" if mode == "and" else ""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT avg(dl) FROM dl) AS avgdl),
+cq(term) AS (VALUES {cvals}),
+fx AS (
+  SELECT doc_id, unnest(regexp_extract_all(source, '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+ftf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM fx GROUP BY doc_id, term),
+fdl AS (SELECT doc_id,
+               len(regexp_extract_all(source, '{TOKEN_PATTERN}'))::DOUBLE AS fl
+        FROM documents),
+fst AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+               (SELECT avg(fl) FROM fdl) AS avgfl),
+fq(term) AS (VALUES {fvals}),
+qdfc AS (SELECT cq.term,
+                (SELECT count(*) FROM tf WHERE tf.term = cq.term)::DOUBLE AS df
+         FROM cq),
+qdff AS (SELECT fq.term,
+                (SELECT count(*) FROM ftf WHERE ftf.term = fq.term)::DOUBLE AS df
+         FROM fq),
+cc AS (
+  SELECT tf.doc_id,
+         ln((st.n - qdfc.df + 0.5) / (qdfc.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf
+  JOIN qdfc ON tf.term = qdfc.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+),
+fc AS (
+  SELECT ftf.doc_id,
+         ln((fst.n - qdff.df + 0.5) / (qdff.df + 0.5) + 1.0)
+           * ftf.tf * 2.2
+           / (ftf.tf + 1.2 * (0.25 + 0.75 * fdl.fl / fst.avgfl)) AS c
+  FROM ftf
+  JOIN qdff ON ftf.term = qdff.term
+  JOIN fdl ON ftf.doc_id = fdl.doc_id
+  CROSS JOIN fst
+),
+u AS (SELECT doc_id, c FROM cc UNION ALL SELECT doc_id, c FROM fc),
+scores AS (SELECT doc_id, sum(c) AS s FROM u GROUP BY doc_id {having})
+SELECT sc.doc_id, round(sc.s, 4) AS score
+FROM scores sc JOIN documents td ON sc.doc_id = td.doc_id
+ORDER BY sc.s DESC, td.source ASC, sc.doc_id ASC LIMIT {k}
+"""
+
+
 def _q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cursor pagination (search_after): page 2 fetched via the (score,
     doc_id) cursor of page 1's last hit — must equal LIMIT 10 OFFSET 10
@@ -1766,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_bm25_regex": _q_bm25_regex,
             "ii_bm25_code": _q_bm25_code,
             "ii_msearch": _q_msearch,
+            "ii_bm25_qualified": _q_bm25_qualified,
             "ii_bm25_fielded": _q_bm25_fielded,
             "ii_bm25_fielded_and": _q_bm25_fielded_and,
             "ii_explain": _q_explain,
@@ -1828,6 +1906,9 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
     )
     sql["ii_bm25_code"] = _bm25_code_sql(["get", "value", "scan"], 10)
     sql["ii_msearch"] = _msearch_sql(_MSEARCH_QUERIES, 10)
+    sql["ii_bm25_qualified"] = _qualified_sql(
+        ["value", "table"], ["src18"], 10, "and"
+    )
     sql["ii_bm25_fielded"] = _bm25f_sql(
         ["value", "src18"], 10, "or", w_field=2.0
     )

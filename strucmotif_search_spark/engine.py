@@ -530,6 +530,67 @@ class SearchEngine:
         )
         return self._materialize(hits, k) if with_meta else hits
 
+    def search_qualified(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """Field-qualified query syntax (Lucene ``field:term``): each clause
+        scores in ITS field — unqualified clauses via the content index,
+        ``repo:src18`` via the repo field's derived postings (own df/avgdl).
+        AND requires every clause matched in its own field.  Qualified terms
+        run through the generation's analyzer AFTER parsing (a camelCase
+        qualified term can fan out to several clauses in that field)."""
+        from .oracle import tokenize
+        from .query.fielded import (
+            field_postings,
+            field_stats,
+            parse_qualified,
+            qualified_topk,
+        )
+        from .tokenizer import analyze_text
+
+        clauses: list[tuple[str | None, str]] = []
+        for f, t in parse_qualified(query):
+            for tok in tokenize(analyze_text(t, self.analyzer)):
+                clauses.append((f, tok))
+        clauses = sorted(set(clauses), key=lambda c: (c[0] or "", c[1]))
+        content_terms = sorted({t for f, t in clauses if f is None})
+        plan = self.plan(" ".join(content_terms))
+        found = self._vocab_lookup(content_terms)
+        term_of_key = {tid: t for t, (tid, _df) in found.items()}
+        field_sides = {}
+        for fname in sorted({f for f, _t in clauses if f is not None}):
+            if fname not in self.doc_map.columns:
+                raise ValueError(
+                    f"unknown query field {fname!r}; doc_map fields: "
+                    f"{[c for c in self.doc_map.columns]}"
+                )
+            if fname not in self._field_cache:
+                fp = field_postings(
+                    self.doc_map, fname, self.analyzer
+                ).persist()
+                fp.count()
+                self._field_cache[fname] = (
+                    fp, field_stats(self.doc_map, fname, self.analyzer)
+                )
+            fp, (fn_docs, avg_fl) = self._field_cache[fname]
+            field_sides[fname] = (fp, fn_docs, avg_fl)
+        hits = qualified_topk(
+            self.spark,
+            self.postings,
+            self.doc_map,
+            plan,
+            term_of_key,
+            field_sides,
+            clauses,
+            k=k,
+            mode=mode,
+        )
+        return self._materialize(hits, k) if with_meta else hits
+
     def msearch(
         self,
         queries: dict[str, str],

@@ -194,3 +194,103 @@ def fielded_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def parse_qualified(query: str) -> list[tuple[str | None, str]]:
+    """Lucene-style field-qualified clause split: ``repo:src18 value`` ->
+    [('repo', 'src18'), (None, 'value')] (None = the content field).  A
+    qualifier applies to its one token; unknown punctuation falls to the
+    tokenizer downstream.  Duplicate clauses collapse (set semantics, same
+    as the single-field planner)."""
+    out: set[tuple[str | None, str]] = set()
+    for raw in query.split():
+        if ":" in raw:
+            f, _, t = raw.partition(":")
+            if f and t:
+                out.add((f, t))
+                continue
+        out.add((None, raw))
+    return sorted(out, key=lambda c: (c[0] or "", c[1]))
+
+
+def qualified_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    norms_decoded: DataFrame,
+    plan: QueryPlan,
+    term_of_key: dict[int, str],
+    field_sides: dict[str, tuple[DataFrame, int, float]],
+    clauses: list[tuple[str | None, str]],
+    k: int = 10,
+    mode: str = "or",
+) -> DataFrame:
+    """Field-qualified BM25: each clause scores in ITS field only —
+    ``(None, t)`` via the content index (``plan`` covers exactly those
+    terms), ``(field, t)`` via that field's derived postings with the
+    field's own df/avgdl.  score(d) = ordered sum of clause contributions
+    (ascending clause key '<field>:<term>', '' for content); AND requires
+    every clause matched in its own field.
+
+    ``field_sides``: field -> (field postings DF, n_docs, avg_fieldlen).
+    """
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not clauses:
+        return empty
+
+    sides = []
+    content_terms = sorted({t for f, t in clauses if f is None})
+    if content_terms and not plan.empty_or:
+        term_map = F.create_map(
+            *[F.lit(x) for x in chain.from_iterable(term_of_key.items())]
+        )
+        cc = bm25_group_contribs(postings, norms_decoded, plan).select(
+            "doc_id",
+            F.concat(F.lit(":"), term_map[F.col("gkey")]).alias("ckey"),
+            F.col("contrib").alias("c"),
+        )
+        sides.append(cc)
+    for fname in sorted({f for f, _t in clauses if f is not None}):
+        fposts, fn, avg_fl = field_sides[fname]
+        f_terms = sorted({t for f, t in clauses if f == fname})
+        qf = fposts.where(F.col("term").isin(f_terms))
+        df_rows = qf.groupBy("term").agg(F.count("*").alias("df")).collect()
+        fidf = {r["term"]: idf(fn, int(r["df"])) for r in df_rows}
+        if not fidf:
+            continue
+        idf_map = F.create_map(
+            *[F.lit(x) for x in chain.from_iterable(fidf.items())]
+        )
+        denom = F.col("tf") + plan.k1 * (
+            1.0 - plan.b + plan.b * F.col("fieldlen") / F.lit(avg_fl)
+        )
+        sides.append(
+            qf.select(
+                "doc_id",
+                F.concat(F.lit(fname + ":"), F.col("term")).alias("ckey"),
+                (
+                    idf_map[F.col("term")]
+                    * (F.col("tf") * (plan.k1 + 1.0))
+                    / denom
+                ).cast("double").alias("c"),
+            )
+        )
+    if not sides:
+        return empty
+    u = sides[0]
+    for s in sides[1:]:
+        u = u.unionByName(s)
+    per_doc = u.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("ckey", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("score"),
+        F.count("*").alias("n_matched"),
+    )
+    if mode == "and":
+        per_doc = per_doc.where(F.col("n_matched") == len(clauses))
+    return (
+        per_doc.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

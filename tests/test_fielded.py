@@ -139,3 +139,111 @@ def test_k_cut_and_tie_order(engine):
     assert len(got) == 3
     scores = [s for _, s in got]
     assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# field-qualified syntax (search_qualified)
+# ---------------------------------------------------------------------------
+
+def _qualified_oracle(engine, query, k=10, mode="or"):
+    """Independent replica: per-clause BM25 in the clause's field, summed in
+    ascending clause-key order ('' prefix for content)."""
+    import numpy as np
+
+    from strucmotif_search_spark.oracle import idf, tokenize
+    from strucmotif_search_spark.query.fielded import parse_qualified
+
+    content, _ = _oracles(engine, 1)
+    field_ix = {1: "path", 3: "lang", 0: "repo"}
+    fld = {name: _oracles(engine, i)[1] for i, name in field_ix.items()}
+
+    clauses = sorted(
+        {(f, t) for f, raw in parse_qualified(query) for t in tokenize(raw)},
+        key=lambda c: (c[0] or "", c[1]),
+    )
+    cell: dict[tuple[int, str], float] = {}
+    matched: dict[int, set[str]] = {}
+    for f, t in clauses:
+        ix = content if f is None else fld[f]
+        ckey = (":" if f is None else f + ":") + t
+        p = ix.postings.get(t)
+        if p is None:
+            continue
+        ds, tfs = p
+        w = idf(ix.n_docs, ix.df[t])
+        tf = tfs.astype(np.float64)
+        row = np.searchsorted(ix.doc_ids, ds)
+        dl = ix.doclens[row].astype(np.float64)
+        denom = tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / ix.avgdl)
+        contrib = w * (tf * 2.2) / denom
+        for d, c in zip(ds.tolist(), contrib.tolist()):
+            cell[(d, ckey)] = c
+            matched.setdefault(d, set()).add(ckey)
+    if mode == "and":
+        matched = {
+            d: s for d, s in matched.items() if len(s) == len(clauses)
+        }
+    scores = {}
+    for d, keys in matched.items():
+        s = 0.0
+        for ck in sorted(keys):
+            s += cell[(d, ck)]
+        scores[d] = s
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_qualified_or_matches_oracle(engine):
+    q = "repo:r1 scan table"
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.search_qualified(q, k=10, with_meta=False).collect()
+    ]
+    assert got == _qualified_oracle(engine, q, k=10)
+    assert len(got) >= 4  # the three r1 docs match via repo alone
+
+
+def test_qualified_and_scopes_each_clause_to_its_field(engine):
+    # lang:go AND content 'scan': go docs whose CONTENT mentions scan —
+    # render.js has 'scan' in content but lang js; parquet_reader.go has
+    # 'scan' only in its PATH (the unqualified clause is content-scoped);
+    # both must be excluded
+    q = "lang:go scan"
+    got = engine.search_qualified(q, k=10, mode="and").collect()
+    assert got == sorted(
+        got, key=lambda r: (-r["score"], r["doc_id"])
+    )
+    paths = {r["path"] for r in got}
+    assert paths == {"lib/planner/cost.go"}
+    want = _qualified_oracle(engine, q, k=10, mode="and")
+    got_pairs = [(r["doc_id"], r["score"]) for r in
+                 engine.search_qualified(q, k=10, mode="and",
+                                         with_meta=False).collect()]
+    assert got_pairs == want
+
+
+def test_qualified_content_only_equals_plain_fieldless_scoring(engine):
+    # no qualifiers -> pure content clauses; equals the naive single-field
+    # oracle with the same terms
+    content, _ = _oracles(engine, 1)
+    from strucmotif_search_spark.oracle import bm25_topk
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.search_qualified(
+            "table scan", k=10, with_meta=False
+        ).collect()
+    ]
+    assert got == bm25_topk(content, "table scan", k=10)
+
+
+def test_qualified_unknown_field_raises(engine):
+    with pytest.raises(ValueError, match="unknown query field"):
+        engine.search_qualified("nosuch:term", k=5)
+
+
+def test_qualified_absent_term_and_empty(engine):
+    assert engine.search_qualified("repo:zz_none", k=5).count() == 0
+    assert (
+        engine.search_qualified("repo:zz_none table", k=5, mode="and").count()
+        == 0
+    )
