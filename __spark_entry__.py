@@ -1256,6 +1256,22 @@ def _q_hll_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_registers(bigrams, "bg", p=8)
 
 
+def _q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch table (depth 4, 4096 buckets) over the corpus token
+    stream — md5 integer math, the whole sketch state value-gated against
+    a SQL replay (operators/sketches.py cms_table)."""
+    from strucmotif_search_spark.operators import sketches
+
+    docs = _docs(spark, sf_dir)
+    return sketches.cms_table(
+        sketches.token_values(docs), "t", depth=4, width_bits=12
+    ).select(
+        F.col("hash_row").cast("long").alias("hash_row"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries candidates + exact verify: every token with count
     exceeding total/(k+1), k=30 — exact output, bounded-memory sketch."""
@@ -1826,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pipe_pack_sequences": _q_pack_sequences,
             "sk_hll_bigrams": _q_hll_bigrams,
             "sk_heavy_hitters": _q_heavy_hitters,
+            "sk_cms_tokens": _q_cms_tokens,
             "ii_facet_counts": _q_facet_counts,
             "ii_bm25_not": _q_bm25_not,
             "ii_bm25_prefix": _q_bm25_prefix,
@@ -2527,6 +2544,23 @@ SELECT g.register::BIGINT AS register,
        coalesce(hreg.max_rho, 0)::BIGINT AS max_rho
 FROM (SELECT unnest(generate_series(0, 255)) AS register) g
 LEFT JOIN hreg USING (register)
+""",
+            # CMS replay: hash row d's bucket = first 8 md5 hex chars of
+            # 'd|token' mod 4096 — pure integer md5 math, bit-equal
+            "sk_cms_tokens": f"""
+WITH ctok AS (
+  SELECT unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS t
+  FROM documents
+),
+cpairs AS (
+  SELECT d.hash_row,
+         ('0x' || substr(md5(d.hash_row::VARCHAR || '|' || ctok.t), 1, 8))::BIGINT % 4096
+           AS bucket
+  FROM ctok CROSS JOIN (VALUES (0),(1),(2),(3)) d(hash_row)
+)
+SELECT hash_row::BIGINT AS hash_row, bucket::BIGINT AS bucket,
+       count(*)::BIGINT AS cnt
+FROM cpairs GROUP BY hash_row, bucket
 """,
             # heavy-hitters replay: exact counts, integer threshold
             # n*(k+1) > total with k=30

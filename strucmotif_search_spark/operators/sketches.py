@@ -195,3 +195,102 @@ def heavy_hitters(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataF
     return counts.where(F.col("n") * (k + 1) > F.lit(total)).select(
         F.col("t").alias("term"), F.col("n").cast("long").alias("n")
     )
+
+
+def cms_table(
+    values: DataFrame, col: str, depth: int = 4, width_bits: int = 12
+) -> DataFrame:
+    """Count-min sketch table over a value stream: ``(hash_row, bucket, cnt)``,
+    ``depth`` independent hash rows of ``2**width_bits`` buckets each
+    (absent buckets are zero and not emitted — counts merge additively, so
+    sparse emission is lossless).
+
+    Like :func:`hll_registers`, the sketch is deterministic integer
+    arithmetic on md5 digests (hash row ``d`` hashes ``md5(d || '|' || value)``,
+    bucket = first 8 hex chars mod width), so the WHOLE table is bit-for-bit
+    replayable by an ANSI-SQL oracle — the repo's sketch discipline: sketch
+    for scale, exact replay for correctness.
+
+    Scale shape: one pass — per input row an ``explode`` of ``depth``
+    precomputed (row, bucket) pairs, then a hash aggregate with map-side
+    partial sums; the shuffle carries at most ``depth * 2**width_bits``
+    fixed-width rows per task regardless of input size.  Point estimates
+    (:func:`cms_estimate`) read ``depth`` rows per query term; sketches of
+    disjoint corpora merge by elementwise sum (additive monoid), so
+    incremental generations keep sketches additive exactly like HLL's max.
+    """
+    if not 1 <= depth <= 16:
+        raise ValueError("depth must be in [1, 16]")
+    if not 4 <= width_bits <= 24:
+        raise ValueError("width_bits must be in [4, 24]")
+    width = 1 << width_bits
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("hash_row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(str(d)),
+                                    F.lit("|"),
+                                    F.col(col).cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        values.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.hash_row").alias("hash_row"),
+            F.col("p.bucket").alias("bucket"),
+        )
+        .groupBy("hash_row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, terms: list[str], depth: int = 4, width_bits: int = 12
+) -> dict[str, int]:
+    """Point-frequency estimates from a :func:`cms_table`: for each term,
+    the MIN over its ``depth`` bucket counters — the classic CMS upper
+    bound (never under-counts; over-counts only by collision mass).  Reads
+    ``depth * len(terms)`` sketch rows via a pushed-down filter; driver
+    work is dictionary-sized."""
+    import hashlib
+
+    width = 1 << width_bits
+    want: dict[tuple[int, int], list[str]] = {}
+    for t in terms:
+        for d in range(depth):
+            h = hashlib.md5(f"{d}|{t}".encode()).hexdigest()
+            want.setdefault((d, int(h[:8], 16) % width), []).append(t)
+    keys = list(want)
+    cond = None
+    for d, b in keys:
+        c = (F.col("hash_row") == d) & (F.col("bucket") == b)
+        cond = c if cond is None else (cond | c)
+    counts = {
+        (int(r["hash_row"]), int(r["bucket"])): int(r["cnt"])
+        for r in cms.where(cond).collect()
+    }
+    out: dict[str, int] = {}
+    for t in terms:
+        mins = []
+        for d in range(depth):
+            h = hashlib.md5(f"{d}|{t}".encode()).hexdigest()
+            mins.append(counts.get((d, int(h[:8], 16) % width), 0))
+        out[t] = min(mins)
+    return out

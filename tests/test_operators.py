@@ -1066,3 +1066,65 @@ def test_facet_counts_vs_bruteforce(spark, tmp_path):
     } == brute(["alpha"], "or")
     assert facet_counts(eng, "alpha zz_missing", "repo", "and").count() == 0
     assert facet_counts(eng, "zz_missing", "repo", "or").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_table_matches_python_replay(spark):
+    import hashlib
+
+    from strucmotif_search_spark.operators import sketches
+
+    vals = ["a", "b", "a", "c", "a", "b", "x_long_token"] * 5
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = {
+        (r["hash_row"], r["bucket"]): r["cnt"]
+        for r in sketches.cms_table(df, "t", depth=3, width_bits=8).collect()
+    }
+    want: dict = {}
+    for v in vals:
+        for d in range(3):
+            h = hashlib.md5(f"{d}|{v}".encode()).hexdigest()
+            key = (d, int(h[:8], 16) % 256)
+            want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+def test_cms_estimate_never_undercounts(spark):
+    import collections
+
+    from strucmotif_search_spark.operators import sketches
+
+    rng_vals = [f"tok{i % 37}" for i in range(1000)] + ["rare_one"]
+    df = spark.createDataFrame([(v,) for v in rng_vals], "t string")
+    cms = sketches.cms_table(df, "t", depth=4, width_bits=10).cache()
+    truth = collections.Counter(rng_vals)
+    est = sketches.cms_estimate(
+        cms, ["tok0", "tok5", "rare_one", "zz_absent"],
+        depth=4, width_bits=10,
+    )
+    for t in ["tok0", "tok5", "rare_one"]:
+        assert est[t] >= truth[t]
+        assert est[t] <= truth[t] + len(rng_vals) // (1 << 10) + 32
+    assert est["zz_absent"] >= 0  # absent may collide but never negative
+    cms.unpersist()
+
+
+def test_cms_merge_is_additive(spark):
+    from strucmotif_search_spark.operators import sketches
+    import pyspark.sql.functions as F
+
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], "t string")
+    b = spark.createDataFrame([("x",), ("z",)], "t string")
+    whole = sketches.cms_table(a.unionByName(b), "t", depth=2, width_bits=6)
+    parts = (
+        sketches.cms_table(a, "t", depth=2, width_bits=6)
+        .unionByName(sketches.cms_table(b, "t", depth=2, width_bits=6))
+        .groupBy("hash_row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, parts.collect())
+    )
