@@ -978,6 +978,30 @@ def _q_bm25_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_after_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-by-query as a value gate: remove EVERY doc matching
+    'customer' (full match set from the index, engine.delete_by_query),
+    then BM25 over the survivors must equal a from-scratch oracle over the
+    corpus minus those docs — df/cf/avgdl shrink exactly (E2/E3 surgery)."""
+    key = f"{id(spark)}|{sf_dir}|dbq"
+    if key not in _ENGINES:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="ssx_dbq_")
+        store = IndexStore(root)
+        build_index(
+            spark, _as_corpus(_docs(spark, sf_dir)), store,
+            docs_per_shard=512, shards_per_chunk=1 << 20,
+            checkpoint_partials=False,
+        )
+        SearchEngine(spark, store).delete_by_query("customer", mode="or")
+        _ENGINES[key] = SearchEngine(spark, store)  # post-delete generation
+    hits = _ENGINES[key].search("table query", k=10, with_meta=True)
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 _MSEARCH_QUERIES = {
     "t1": "table query",
     "t2": "value stream",
@@ -1861,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_bm25_code": _q_bm25_code,
             "ii_msearch": _q_msearch,
             "ii_bm25_qualified": _q_bm25_qualified,
+            "ii_bm25_after_delete_query": _q_bm25_after_delete_query,
             "ii_bm25_fielded": _q_bm25_fielded,
             "ii_bm25_fielded_and": _q_bm25_fielded_and,
             "ii_explain": _q_explain,
@@ -1923,6 +1948,15 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
     )
     sql["ii_bm25_code"] = _bm25_code_sql(["get", "value", "scan"], 10)
     sql["ii_msearch"] = _msearch_sql(_MSEARCH_QUERIES, 10)
+    sql["ii_bm25_after_delete_query"] = _bm25_sql(
+        ["table", "query"], 10, "or",
+        doc_where=(
+            "doc_id NOT IN (SELECT DISTINCT doc_id FROM ("
+            "SELECT doc_id, unnest(regexp_extract_all(text, "
+            f"'{TOKEN_PATTERN}')) AS term FROM documents) "
+            "WHERE term = 'customer')"
+        ),
+    )
     sql["ii_bm25_qualified"] = _qualified_sql(
         ["value", "table"], ["src18"], 10, "and"
     )
