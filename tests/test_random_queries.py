@@ -179,3 +179,53 @@ def test_random_cursor_pages_equal_offset(engine, oracle_and_texts):
             ).collect()
         ]
         assert got == full[cut: cut + 3], (trial, q, cut)
+
+
+def test_random_fielded(engine, oracle_and_texts):
+    # fielded most_fields over the path field: content oracle + field oracle
+    # (paths are unique single tokens -> field side behaves needle-like)
+    from strucmotif_search_spark.oracle import bm25f_topk
+
+    idx, texts = oracle_and_texts
+    dm = {r["doc_id"]: r["path"] for r in engine.doc_map.collect()}
+    ids = sorted(texts)
+    fld = build_oracle(ids, [dm[d] for d in ids])
+    rng = random.Random(99)
+    for trial in range(8):
+        parts = [rng.choice(VOCAB) for _ in range(rng.randint(1, 3))]
+        if rng.random() < 0.7:
+            parts.append(dm[rng.choice(ids)])  # a real path token
+        q = " ".join(parts)
+        mode = rng.choice(["or", "and"])
+        w_f = rng.choice([1.0, 2.0, 0.5])
+        expected = bm25f_topk(idx, fld, q, k=10, mode=mode, w_field=w_f)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in engine.fielded_search(
+                q, field="path", k=10, mode=mode, w_field=w_f,
+                with_meta=False,
+            ).collect()
+        ]
+        assert got == expected, (trial, q, mode, w_f)
+
+
+def test_random_msearch_slices_equal_solo(engine, oracle_and_texts):
+    idx, _ = oracle_and_texts
+    rng = random.Random(123)
+    for trial in range(4):
+        batch = {
+            f"q{j}": _rand_terms(rng, rng.randint(1, 4))
+            for j in range(rng.randint(2, 6))
+        }
+        mode = rng.choice(["or", "and"])
+        k = rng.choice([3, 10])
+        got: dict = {}
+        for r in engine.msearch(batch, k=k, mode=mode).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score"])
+            )
+        for qid in got:
+            got[qid].sort(key=lambda t: (-t[1], t[0]))
+        for qid, q in batch.items():
+            expected = bm25_topk(idx, q, k=k, mode=mode)
+            assert got.get(qid, []) == expected, (trial, qid, q, mode, k)
