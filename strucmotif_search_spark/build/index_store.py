@@ -74,6 +74,70 @@ class IndexStore:
         tmp.write_text(gen + "\n")
         os.replace(tmp, self.root / "CURRENT")
 
+    def referenced_gens(self, gen: str | None = None) -> set[str]:
+        """Generations reachable from ``gen`` (default CURRENT): the gen
+        itself plus every generation whose posting files its `_refs.json`
+        names.  Refs are written FLATTENED (incremental._carry_refs carries
+        ancestors forward), so one level covers the whole chain; paths
+        outside this store's root are ignored (never deleted)."""
+        gen = gen or self.current_gen()
+        if gen is None:
+            return set()
+        live = {gen}
+        refs_file = self.root / gen / "_refs.json"
+        if refs_file.exists():
+            for r in json.loads(refs_file.read_text()):
+                try:
+                    rel = Path(r["path"]).relative_to(self.root)
+                except ValueError:
+                    continue
+                if rel.parts:
+                    live.add(rel.parts[0])
+        return live
+
+    def expire_generations(self, keep_last: int = 0) -> list[str]:
+        """Delete generation dirs (and their stage-1 partials) that are NOT
+        reachable from CURRENT — the Iceberg ``expire_snapshots`` analogue
+        for this stand-in store (README "Iceberg contract" table).  Disk
+        for a long-lived index otherwise grows by one full generation per
+        compact() and one delta per ADD/REMOVE forever.
+
+        Safety invariants:
+        - the CURRENT generation and every generation its (flattened) refs
+          name are never touched;
+        - generations NEWER than CURRENT are never touched (an in-flight
+          unpublished build writes into a new gen dir before the pointer
+          flips);
+        - ``keep_last`` additionally retains the N most recent expired
+          candidates (time-travel window, like Iceberg's
+          ``older_than`` retention);
+        - the lineage WAL is append-only and kept — expiry is itself
+          logged, so the audit trail records what was removed and why.
+        """
+        import shutil
+
+        cur = self.current_gen()
+        if cur is None:
+            return []
+        live = self.referenced_gens(cur)
+        gens = sorted(p.name for p in self.root.glob("gen-*"))
+        candidates = [g for g in gens if g not in live and g < cur]
+        if keep_last:
+            candidates = candidates[:-keep_last] if keep_last < len(
+                candidates
+            ) else []
+        removed = []
+        for g in candidates:
+            shutil.rmtree(self.root / g, ignore_errors=True)
+            shutil.rmtree(self.root / "_partials" / g, ignore_errors=True)
+            removed.append(g)
+        if removed:
+            self.log(
+                stage="expire", status="done", removed=removed,
+                keep_last=keep_last,
+            )
+        return removed
+
     # ---- tables ------------------------------------------------------
     def table_path(self, name: str, gen: str | None = None) -> str:
         base = self.root / (gen or self.current_gen() or "")

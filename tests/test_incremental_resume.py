@@ -380,3 +380,69 @@ def test_compact_collapses_refs_and_restores_bucketing(
     assert verify_consistency(spark, store) == {
         "orphan_doc_ids": 0, "inconsistent_terms": 0,
     }
+
+
+# ---------------------------------------------------------------------------
+# generation expiry (Iceberg expire_snapshots analogue)
+# ---------------------------------------------------------------------------
+
+def test_expire_keeps_referenced_chain_and_current(spark, tmp_path_factory):
+    import json
+    from pathlib import Path
+
+    from strucmotif_search_spark.corpus import generate_corpus
+    from strucmotif_search_spark.engine import SearchEngine
+    from strucmotif_search_spark.streaming.incremental import (
+        add_documents, compact,
+    )
+
+    root = tmp_path_factory.mktemp("expire")
+    store = IndexStore(root)
+    base = generate_corpus(spark, 120, seed=11, partitions=4)
+    build_index(
+        spark, base, store, docs_per_shard=16, shards_per_chunk=1 << 20,
+        checkpoint_partials=False,
+    )
+    gen1 = store.current_gen()
+    add_documents(spark, store, generate_corpus(spark, 30, seed=12, partitions=2))
+    gen2 = store.current_gen()
+    # gen2 references gen1's files: expiry must remove NOTHING
+    assert store.expire_generations() == []
+    assert (Path(root) / gen1).exists()
+
+    compact(spark, store)
+    gen3 = store.current_gen()
+    assert store.referenced_gens() == {gen3}  # compact folds refs away
+    # an in-flight NEWER gen dir must survive expiry
+    inflight = store.new_gen()
+    removed = store.expire_generations()
+    assert sorted(removed) == sorted([gen1, gen2])
+    assert not (Path(root) / gen1).exists()
+    assert (Path(root) / gen3).exists()
+    assert (Path(root) / inflight).exists()
+
+    # post-expiry queries still answer (nothing reachable was removed)
+    eng = SearchEngine(spark, store)
+    assert eng.search("import", k=5, with_meta=False).count() == 5
+    # expiry is recorded in the lineage WAL
+    events = [e for e in store.lineage() if e.get("stage") == "expire"]
+    assert events and sorted(events[-1]["removed"]) == sorted([gen1, gen2])
+
+
+def test_expire_keep_last_retention(spark, tmp_path_factory):
+    from strucmotif_search_spark.corpus import generate_corpus
+    from strucmotif_search_spark.streaming.incremental import compact
+
+    root = tmp_path_factory.mktemp("expire_keep")
+    store = IndexStore(root)
+    build_index(
+        spark, generate_corpus(spark, 60, seed=13, partitions=2), store,
+        docs_per_shard=16, shards_per_chunk=1 << 20,
+        checkpoint_partials=False,
+    )
+    compact(spark, store)
+    compact(spark, store)
+    # three gens exist; two are expirable, keep_last=1 retains the newest
+    removed = store.expire_generations(keep_last=1)
+    assert len(removed) == 1
+    assert store.expire_generations(keep_last=0) != []
