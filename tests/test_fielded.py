@@ -247,3 +247,21 @@ def test_qualified_absent_term_and_empty(engine):
         engine.search_qualified("repo:zz_none table", k=5, mode="and").count()
         == 0
     )
+
+
+def test_fielded_plan_pushes_term_filter_to_posting_scan(engine):
+    hits = engine.fielded_search("table scan", k=5, with_meta=False)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    # content side: the union-of-terms filter reaches the parquet scan
+    # (min/max pruning on term_id) — no full-postings read for 2 terms
+    assert "PushedFilters" in plan and "term_id" in plan
+    # the field side rides the persisted derived table (InMemory scan),
+    # never a second corpus-wide tokenize per query
+    assert "InMemoryTableScan" in plan
+
+
+def test_qualified_plan_pushes_term_filter(engine):
+    hits = engine.search_qualified("repo:r1 table", k=5, with_meta=False)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "term_id" in plan
+    assert "InMemoryTableScan" in plan
