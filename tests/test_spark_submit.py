@@ -120,3 +120,77 @@ def test_spark_submit_pyfiles_multi_executor(spark, tmp_path):
     assert [d for d, _ in got] == [d for d, _ in expected]
     for (_, a), (_, b) in zip(got, expected):
         assert abs(a - b) < 1e-6
+
+
+def test_update_submit_operation_chain(spark, tmp_path):
+    """The maintenance CLI (jobs/update_submit.py, reference Operation.java
+    shape): ADD -> DELETE -> COMPACT -> EXPIRE -> RECOVER chained through
+    spark-submit, library imported from --py-files, index built in-process
+    first (build path covered by the cluster test above)."""
+    from strucmotif_search_spark.build import build_index
+
+    src_delta = str(tmp_path / "delta")
+    docs = generate_corpus(spark, 200, seed=21, partitions=4)
+    delta = generate_corpus(spark, 50, seed=22, partitions=2)
+    delta.write.mode("overwrite").parquet(src_delta)
+
+    index_root = str(tmp_path / "index_upd")
+    build_index(
+        spark, docs, IndexStore(index_root), docs_per_shard=64,
+        shards_per_chunk=1 << 20, checkpoint_partials=False,
+    )
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from make_pyfiles import make_pyfiles_zip
+    finally:
+        sys.path.pop(0)
+    zip_path = make_pyfiles_zip(str(tmp_path / "smsp_upd.zip"))
+
+    env = dict(
+        os.environ,
+        PYSPARK_PYTHON=sys.executable,
+        PYSPARK_DRIVER_PYTHON=sys.executable,
+    )
+    env.pop("PYTHONPATH", None)
+
+    def run(op, *extra):
+        proc = subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[2]",
+                "--py-files", zip_path,
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.driver.memory=1g",
+                os.path.join(REPO, "jobs", "update_submit.py"),
+                op, "--index-root", index_root, *extra,
+            ],
+            env=env, cwd=str(tmp_path), capture_output=True, text=True,
+            timeout=300,
+        )
+        assert proc.returncode == 0, (
+            f"{op} failed\nstdout:\n{proc.stdout[-3000:]}\n"
+            f"stderr:\n{proc.stderr[-3000:]}"
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    out = run("ADD", "--source", src_delta)
+    assert out["gen"].startswith("gen-")
+    out = run("DELETE", "--query", "import")  # head term: deletes many docs
+    gen_del = out["gen"]
+    out = run("COMPACT")
+    assert out["gen"] > gen_del
+    out = run("EXPIRE")
+    assert out["removed"]  # pre-compact generations reclaimed
+    out = run("RECOVER")
+    assert out["healthy"] and out["report"] == {
+        "orphan_doc_ids": 0, "inconsistent_terms": 0,
+    }
+
+    # deleted term really is gone from the surviving corpus
+    store = IndexStore(index_root)
+    from strucmotif_search_spark.engine import SearchEngine
+
+    eng = SearchEngine(spark, store)
+    assert eng.search("import", k=5, with_meta=False).count() == 0
