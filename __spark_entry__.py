@@ -175,7 +175,14 @@ def _orig_doc_id(df: DataFrame) -> DataFrame:
 def _bm25_query(terms: str, k: int, mode: str, **search_kw) -> Callable:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = _engine(spark, sf_dir)
-        hits = eng.search(terms, k=k, mode=mode, with_meta=True, **search_kw)
+        # thunk-valued kwargs (e.g. doc_predicate) are resolved here, once a
+        # SparkSession exists — queries() itself must stay constructible
+        # without an active SparkContext (driver contract)
+        kw = {
+            name: v() if callable(v) else v
+            for name, v in search_kw.items()
+        }
+        hits = eng.search(terms, k=k, mode=mode, with_meta=True, **kw)
         return _orig_doc_id(hits).select(
             "doc_id", F.round("score", 4).alias("score")
         )
@@ -1866,7 +1873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # search-space predicate (P3): filter applies BEFORE top-k
     q["ii_bm25_source_filter"] = _bm25_query(
-        "table query", 10, "or", doc_predicate=F.col("repo") == "src3"
+        "table query", 10, "or",
+        doc_predicate=lambda: F.col("repo") == "src3",
     )
     # A4 query expansion (ResiduePairOccurrence.java:166-227): per-term
     # synonym groups, posting-list union semantics — the reference's
@@ -1913,9 +1921,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         eng = _incr_engine(spark, sf_dir, "add")
         return eng.terms.select("term", "df", "cf")
 
+    def _time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Iceberg time-travel read (VERSION AS OF): pin a SearchEngine at
+        the generation BEFORE the ADD commit and query it — results must
+        equal a from-scratch oracle over the base corpus (doc_id % 5 != 0),
+        proving historical snapshots stay exactly queryable after later
+        commits (generations are immutable; CURRENT is just a pointer)."""
+        import pathlib
+
+        store = _incr_engine(spark, sf_dir, "add").store
+        base_gen = sorted(
+            p.name for p in pathlib.Path(store.root).glob("gen-*")
+        )[0]
+        eng = SearchEngine(spark, store, gen=base_gen)
+        hits = eng.search("table query", k=10, mode="or", with_meta=True)
+        return _orig_doc_id(hits).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
     q["ii_bm25_after_add"] = _after_add
     q["ii_bm25_after_remove"] = _after_remove
     q["ii_terms_after_add"] = _terms_after_add
+    q["ii_bm25_time_travel"] = _time_travel
     q.update(
         {
             "ii_terms_df_cf": _q_terms_table,
@@ -2008,6 +2035,10 @@ def oracle_sql() -> dict[str, str]:
     sql["ii_bm25_after_add"] = _bm25_sql(["table", "query"], 10, "or")
     sql["ii_bm25_after_remove"] = _bm25_sql(
         ["table", "query"], 10, "or", doc_where="doc_id % 7 != 0"
+    )
+    # time travel: the pre-ADD snapshot is exactly the base-corpus build
+    sql["ii_bm25_time_travel"] = _bm25_sql(
+        ["table", "query"], 10, "or", doc_where="doc_id % 5 != 0"
     )
     sql["ii_terms_after_add"] = f"""
 WITH {_TOK_CTE},

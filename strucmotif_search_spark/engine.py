@@ -54,21 +54,41 @@ def collect_with_timeout(spark: SparkSession, df: DataFrame, timeout_s: float):
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, store: IndexStore):
+    def __init__(
+        self, spark: SparkSession, store: IndexStore, gen: str | None = None
+    ):
+        """``gen`` pins the engine at a specific published generation —
+        the Iceberg time-travel read (``VERSION AS OF``): every table this
+        engine touches resolves against that immutable snapshot, so queries
+        against historical generations run concurrently with (and entirely
+        unaffected by) later ADD/REMOVE/compact commits.  Default: the
+        CURRENT pointer at construction time (note generations are
+        immutable, so even the default engine is snapshot-stable — a
+        concurrent publish never changes what an existing engine reads).
+        Mutating helpers (``delete_by_query``) always commit against
+        CURRENT and refuse to run on a pinned historical engine."""
         self.spark = spark
         self.store = store
-        gen_dir = store.current_dir()
+        # resolve the pointer ONCE: all reads below go through self.gen, so
+        # the engine is a consistent snapshot even if CURRENT flips mid-init
+        self.gen = gen or store.current_gen()
+        if self.gen is None:
+            raise FileNotFoundError(f"no published index under {store.root}")
+        self._pinned = gen is not None
+        gen_dir = store.root / self.gen
+        if not gen_dir.is_dir():
+            raise FileNotFoundError(f"generation {self.gen!r} not found")
         self.meta = json.loads((Path(gen_dir) / "_meta.json").read_text())
-        self.doc_map = store.read_table(spark, "doc_map")
-        self.terms = store.read_table(spark, "terms")
-        self.stats = store.read_table(spark, "stats")
+        self.doc_map = store.read_table(spark, "doc_map", self.gen)
+        self.terms = store.read_table(spark, "terms", self.gen)
+        self.stats = store.read_table(spark, "stats", self.gen)
         # norms: one compact row per shard — cache (the reference similarly
         # keeps per-doc data resident, DefaultStructureDataProvider.java:202)
         # bucket-aware read: hash(shard)-clustered from the scan, so the
         # per-query cogroup with (equally bucketed) postings is exchange-
         # free; the cache preserves the child partitioning
-        self.norms = store.read_bucketed(spark, "norms").cache()
-        self.postings = store.read_postings(spark)
+        self.norms = store.read_bucketed(spark, "norms", self.gen).cache()
+        self.postings = store.read_postings(spark, self.gen)
         # global stats are a single row — resolve once at engine construction
         self._stats_row = self.stats.first()
         # driver-side vocabulary cache: repeated queries must not pay a Spark
@@ -829,6 +849,12 @@ class SearchEngine:
         from .query.analytics import match_set
         from .streaming.incremental import remove_documents
 
+        if self._pinned:
+            raise ValueError(
+                "delete_by_query mutates CURRENT; this engine is pinned at "
+                f"historical generation {self.gen!r} — construct an "
+                "unpinned SearchEngine to run maintenance"
+            )
         matched = match_set(self, query, mode=mode)
         if matched is None:
             matched = self.spark.createDataFrame([], "doc_id long")

@@ -446,3 +446,47 @@ def test_expire_keep_last_retention(spark, tmp_path_factory):
     removed = store.expire_generations(keep_last=1)
     assert len(removed) == 1
     assert store.expire_generations(keep_last=0) != []
+
+
+def test_time_travel_pinned_generation(spark, corpus, tmp_path_factory):
+    """Iceberg time-travel (VERSION AS OF): after an ADD commit, an engine
+    pinned at the pre-ADD generation answers queries exactly as a
+    from-scratch build over the base corpus — and refuses mutation."""
+    full, base, extra = corpus
+    store = IndexStore(tmp_path_factory.mktemp("tt"))
+    build_index(spark, base, store, docs_per_shard=64, shards_per_chunk=1 << 20)
+    base_gen = store.current_gen()
+    add_documents(spark, store, extra)
+    assert store.current_gen() != base_gen
+
+    # pinned engine == engine over a fresh base-only build, query for query
+    store_fresh = IndexStore(tmp_path_factory.mktemp("tt_fresh"))
+    build_index(
+        spark, base, store_fresh, docs_per_shard=64, shards_per_chunk=1 << 20
+    )
+    pinned = SearchEngine(spark, store, gen=base_gen)
+    fresh = SearchEngine(spark, store_fresh)
+    assert pinned.gen == base_gen
+    for q, mode in [("import", "or"), ("def for", "or"), ("import def", "and")]:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in pinned.search(q, k=10, mode=mode, with_meta=False).collect()
+        ]
+        exp = [
+            (r["doc_id"], r["score"])
+            for r in fresh.search(q, k=10, mode=mode, with_meta=False).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp]
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in exp], rtol=0, atol=1e-12
+        )
+    # terms/stats are the historical snapshot, not CURRENT's
+    cur = SearchEngine(spark, store)
+    assert pinned.doc_map.count() == N0
+    assert cur.doc_map.count() == N0 + N_ADD
+    # a pinned engine must refuse to mutate CURRENT
+    with pytest.raises(ValueError, match="pinned"):
+        pinned.delete_by_query("import")
+    # unknown generation fails loudly
+    with pytest.raises(FileNotFoundError):
+        SearchEngine(spark, store, gen="gen-999999")
