@@ -466,6 +466,86 @@ wpairs AS (
 # expanded-BM25 oracle (A4 query expansion): each base term + its synonyms
 # form one scoring group; tf = sum of member tfs, df = max member df, one
 # idf per group — replayed in SQL exactly as the engine scores it
+def _bool_sql(expr: str, k: int) -> str:
+    """DuckDB replay of a nested boolean-expression query
+    (query/boolquery.py): per-doc presence flags + BM25 sum over POSITIVE
+    terms, the compiled boolean as the WHERE, ties at the k cut broken by
+    the engine's internal order ((source, lpad(doc_id)) lexicographic).
+    The AST comes from the same parser the engine uses — the oracle
+    verifies the EVALUATION (flags, scoring, matching, ordering), which is
+    all SQL-side."""
+    from strucmotif_search_spark.query.boolquery import (
+        And,
+        Not,
+        Or,
+        Term,
+        accepts_all_absent,
+        expr_terms,
+        parse_bool,
+        positive_terms,
+    )
+
+    ast = parse_bool(expr)
+    terms = sorted(expr_terms(ast))
+    pos = sorted(positive_terms(ast))
+    widen = accepts_all_absent(ast)
+    flag = {t: f"f_{i}" for i, t in enumerate(terms)}
+
+    def render(node) -> str:
+        if isinstance(node, Term):
+            return flag[node.term]
+        if isinstance(node, Not):
+            return f"(NOT {render(node.child)})"
+        op = " AND " if isinstance(node, And) else " OR "
+        return "(" + op.join(render(c) for c in node.children) + ")"
+
+    vals = ",".join(f"('{t}')" for t in terms)
+    pvals = ",".join(f"'{t}'" for t in pos) or "''"
+    flag_cols = ",\n         ".join(
+        f"COALESCE(BOOL_OR(c.term = '{t}'), false) AS {flag[t]}"
+        for t in terms
+    )
+    universe = (
+        "dl" if widen else "(SELECT DISTINCT doc_id FROM contrib)"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+q(term) AS (VALUES {vals}),
+qdf AS (
+  SELECT q.term,
+         (SELECT count(*) FROM tf WHERE tf.term = q.term)::DOUBLE AS df
+  FROM q
+),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln((st.n - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf
+  JOIN qdf ON tf.term = qdf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+),
+flags AS (
+  SELECT d.doc_id,
+         {flag_cols},
+         COALESCE(sum(CASE WHEN c.term IN ({pvals}) THEN c.c END), 0.0) AS s
+  FROM {universe} d LEFT JOIN contrib c ON d.doc_id = c.doc_id
+  GROUP BY d.doc_id
+)
+SELECT fl.doc_id, round(fl.s, 4) AS score
+FROM flags fl JOIN documents td ON fl.doc_id = td.doc_id
+WHERE {render(ast)}
+ORDER BY fl.s DESC, td.source ASC, fl.doc_id ASC LIMIT {k}
+"""
+
+
 def _bm25_expanded_sql(
     expansions: dict[str, list[str]],
     k: int,
@@ -878,6 +958,32 @@ def _q_bm25_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = eng.search(
         "table", k=10, with_meta=True, should="query join"
     )
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+_BOOLEXPR = "(table AND query) OR (window NOT merge)"
+_BOOLEXPR_NOT = "value OR NOT table"
+
+
+def _q_bm25_boolexpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested boolean expression query (query/boolquery.py): candidate-
+    bounded plan — flags from one pushed-down posting scan, BM25 over
+    positive terms, compiled boolean WHERE."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.bool_search(_BOOLEXPR, k=10, with_meta=True)
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _q_bm25_boolexpr_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Widening case: the expression accepts the all-absent document, so
+    the match set is corpus-sized (metadata-only doc-universe join); docs
+    without 'value' score 0.0 and tie-break by the internal order."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.bool_search(_BOOLEXPR_NOT, k=10, with_meta=True)
     return _orig_doc_id(hits).select(
         "doc_id", F.round("score", 4).alias("score")
     )
@@ -1981,6 +2087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_bm25_not": _q_bm25_not,
             "ii_bm25_prefix": _q_bm25_prefix,
             "ii_bm25_bool": _q_bm25_bool,
+            "ii_bm25_boolexpr": _q_bm25_boolexpr,
+            "ii_bm25_boolexpr_not": _q_bm25_boolexpr_not,
             "ii_bm25_fuzzy": _q_bm25_fuzzy,
             "ii_ql_topk": _q_ql_topk,
             "ii_near_pair": _q_near_pair,
@@ -2055,6 +2163,8 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
         ["table", "query", "join"], 10, "bool", must=["table"],
         tie_by_source=True,
     )
+    sql["ii_bm25_boolexpr"] = _bool_sql(_BOOLEXPR, 10)
+    sql["ii_bm25_boolexpr_not"] = _bool_sql(_BOOLEXPR_NOT, 10)
     sql["ii_bm25_prefix"] = _bm25_expanded_sql(
         {"table": []}, 10, "or", prefix_groups={"s*": "s"}
     )

@@ -1008,6 +1008,18 @@ def main() -> None:
     queries["q11_expanded_or"] = round(best, 3)
     log(f"[bench] q11_expanded_or: {best*1000:.0f} ms")
 
+    # q21: nested boolean expression (query/boolquery.py) — candidate-
+    # bounded flags plan with a negated subtree
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        engine.bool_search(
+            "(value AND table) OR (window NOT merge)", k=10
+        ).collect()
+        best = min(best, time.time() - t0)
+    queries["q21_boolexpr"] = round(best, 3)
+    log(f"[bench] q21_boolexpr: {best*1000:.0f} ms")
+
     # operator benches
     t0 = time.time()
     dedup.exact_dedup(docs).count()

@@ -602,6 +602,18 @@ class SearchEngine:
             .limit(k)
         )
 
+    def bool_search(
+        self, query: str, k: int = 10, with_meta: bool = False
+    ) -> DataFrame:
+        """Nested boolean expression query — ``(a AND b) OR c NOT d`` —
+        the Lucene query-string shape (query/boolquery.py for the grammar,
+        semantics and plan).  Matching documents score the BM25 sum of the
+        expression's positive terms present; ties break doc_id asc."""
+        from .query.boolquery import bool_topk
+
+        hits = bool_topk(self, query, k=k)
+        return self._materialize(hits, k) if with_meta else hits
+
     def search_qualified(
         self,
         query: str,

@@ -1,0 +1,279 @@
+"""Nested boolean query expressions — `(a AND b) OR c NOT d` — compiled to
+one candidate-bounded Catalyst plan.
+
+The reference's query model is a fixed conjunction of descriptors processed
+rarest-first (core/DefaultTargetAssembler.java:92-111); the engine already
+generalizes that to flat MUST/SHOULD/MUST_NOT (Lucene BooleanQuery, engine
+``mode='bool'``).  This module closes the remaining gap: ARBITRARILY NESTED
+boolean structure, the Lucene query-string shape every search engine user
+expects (`(spark AND sql) OR (flink AND NOT batch)`).
+
+Semantics (Lucene-equivalent, exactly replayable):
+
+- a document MATCHES iff the boolean expression over per-term presence
+  flags evaluates true (NOT is set complement against the doc universe);
+- a matching document's score = the BM25 sum over the expression's
+  POSITIVE terms present in it (a term is positive when it occurs in at
+  least one non-negated position; purely negated terms filter, never
+  score — Lucene's prohibited clauses);
+- summation order is ascending term_id (the engine's total order), ties
+  at the k cut break by doc_id ascending.
+
+Plan shape (pure Catalyst after the Arrow block decode):
+
+  postings.where(term_id IN all-expression-terms)   <- ONE pushed-down scan,
+                                                       negative terms included
+                                                       (their flags gate matching)
+    -> decode -> per-(doc, term) BM25 contribution  <- JVM expressions
+    -> groupBy(doc_id): collect_set(term_id) flags
+       + ordered float64 sum over positive terms
+    -> WHERE <compiled boolean over array_contains> <- whole-stage codegen
+    -> orderBy(score desc, doc_id asc).limit(k)     <- TakeOrderedAndProject
+
+Cost is candidate-bounded (docs containing >= 1 expression term) UNLESS the
+expression accepts the all-absent document (e.g. `NOT a`, `a OR NOT b`) —
+then the match set provably includes every document with none of the terms,
+and the plan widens to a metadata-only left join against the doc dictionary
+(doc_id + doclen columns; content is never read).  That widening is forced
+by the semantics, not the implementation: the answer itself is
+corpus-sized.  The evaluator detects this statically (evaluate the AST
+under all-false flags) so the common case never pays it.
+
+Grammar:  expr   := or
+          or     := and (OR and)*
+          and    := unary ((AND)? unary)*     -- adjacency is AND
+          unary  := NOT unary | '(' expr ')' | TERM
+Operators are upper-case keywords; everything else is a term, run through
+the generation's analyzer (a camelCase term under the code analyzer becomes
+the AND of its subtokens).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle import tokenize
+from ..tokenizer import analyze_text
+
+_TOKENS = re.compile(r"\(|\)|[^()\s]+")
+
+
+# ---- AST ----------------------------------------------------------------
+@dataclass(frozen=True)
+class Term:
+    term: str
+
+
+@dataclass(frozen=True)
+class Not:
+    child: "Node"
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple["Node", ...]
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple["Node", ...]
+
+
+Node = Term | Not | And | Or
+
+
+class BoolQuerySyntaxError(ValueError):
+    pass
+
+
+def parse_bool(query: str, analyzer: str = "standard") -> Node:
+    """Parse a boolean expression into an AST, analyzing each term.
+
+    A term that analyzes to several subtokens (code analyzer camelCase
+    split) becomes the AND of its subtokens; a term that analyzes to
+    nothing (pure punctuation) is rejected loudly rather than silently
+    matching nothing."""
+    toks = _TOKENS.findall(query)
+    if not toks:
+        raise BoolQuerySyntaxError("empty boolean query")
+    pos = 0
+
+    def peek() -> str | None:
+        return toks[pos] if pos < len(toks) else None
+
+    def take() -> str:
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or() -> Node:
+        parts = [parse_and()]
+        while peek() == "OR":
+            take()
+            parts.append(parse_and())
+        return parts[0] if len(parts) == 1 else Or(tuple(parts))
+
+    def parse_and() -> Node:
+        parts = [parse_unary()]
+        while True:
+            nxt = peek()
+            if nxt == "AND":
+                take()
+                parts.append(parse_unary())
+            elif nxt is not None and nxt not in (")", "OR"):
+                # adjacency is AND
+                parts.append(parse_unary())
+            else:
+                break
+        return parts[0] if len(parts) == 1 else And(tuple(parts))
+
+    def parse_unary() -> Node:
+        nxt = peek()
+        if nxt is None:
+            raise BoolQuerySyntaxError("unexpected end of query")
+        if nxt == "NOT":
+            take()
+            return Not(parse_unary())
+        if nxt == "(":
+            take()
+            inner = parse_or()
+            if peek() != ")":
+                raise BoolQuerySyntaxError("missing ')'")
+            take()
+            return inner
+        if nxt == ")" or nxt in ("AND", "OR"):
+            raise BoolQuerySyntaxError(f"unexpected {nxt!r}")
+        word = take()
+        subs = tokenize(analyze_text(word, analyzer))
+        if not subs:
+            raise BoolQuerySyntaxError(f"term {word!r} analyzes to nothing")
+        if len(subs) == 1:
+            return Term(subs[0])
+        return And(tuple(Term(s) for s in subs))
+
+    root = parse_or()
+    if pos != len(toks):
+        raise BoolQuerySyntaxError(f"trailing input at {toks[pos]!r}")
+    return root
+
+
+# ---- static analysis ----------------------------------------------------
+def expr_terms(node: Node) -> set[str]:
+    if isinstance(node, Term):
+        return {node.term}
+    if isinstance(node, Not):
+        return expr_terms(node.child)
+    return set().union(*(expr_terms(c) for c in node.children))
+
+
+def positive_terms(node: Node, negated: bool = False) -> set[str]:
+    """Terms occurring in >= 1 non-negated position (the scoring set)."""
+    if isinstance(node, Term):
+        return set() if negated else {node.term}
+    if isinstance(node, Not):
+        return positive_terms(node.child, not negated)
+    return set().union(*(positive_terms(c, negated) for c in node.children))
+
+
+def accepts_all_absent(node: Node) -> bool:
+    """Evaluate under all-false flags: does the expression match a document
+    containing NONE of its terms?  True forces the doc-universe widening."""
+    if isinstance(node, Term):
+        return False
+    if isinstance(node, Not):
+        return not accepts_all_absent(node.child)
+    if isinstance(node, And):
+        return all(accepts_all_absent(c) for c in node.children)
+    return any(accepts_all_absent(c) for c in node.children)
+
+
+def _to_condition(node: Node, flag_of: dict[str, Column]) -> Column:
+    if isinstance(node, Term):
+        return flag_of[node.term]
+    if isinstance(node, Not):
+        return ~_to_condition(node.child, flag_of)
+    cols = [_to_condition(c, flag_of) for c in node.children]
+    out = cols[0]
+    for c in cols[1:]:
+        out = (out & c) if isinstance(node, And) else (out | c)
+    return out
+
+
+# ---- execution ----------------------------------------------------------
+def bool_topk(engine, query: str, k: int = 10) -> DataFrame:
+    """Top-k (doc_id, score) for a nested boolean expression (see module
+    docstring for semantics and plan shape).  ``engine``: SearchEngine."""
+    ast = parse_bool(query, engine.analyzer)
+    all_terms = sorted(expr_terms(ast))
+    vocab = engine._vocab_lookup(all_terms)  # {term: (term_id, df)}
+    pos_ids = sorted(
+        vocab[t][0] for t in positive_terms(ast) if t in vocab
+    )
+    widen = accepts_all_absent(ast)
+
+    if not vocab and not widen:
+        return engine.spark.createDataFrame([], "doc_id long, score double")
+
+    if vocab:
+        # singleton scoring groups for every expression term (negative ones
+        # included: their presence flags gate matching; gkey == term_id)
+        plan = engine.plan(" ".join(sorted(vocab)))
+        from .bm25 import bm25_group_contribs
+
+        d = bm25_group_contribs(
+            engine.postings, engine.doc_map.select("doc_id", "doclen"), plan
+        )
+        per_doc = d.groupBy("doc_id").agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("gkey").isin(pos_ids)
+                            if pos_ids
+                            else F.lit(False),
+                            F.struct("gkey", "contrib"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score"),
+            F.collect_set("gkey").alias("present"),
+        )
+    else:
+        per_doc = engine.spark.createDataFrame(
+            [], "doc_id long, score double, present array<long>"
+        )
+
+    if widen:
+        # semantics force a corpus-sized match set: metadata-only left join
+        # (doc_id column of the dictionary; no content, no postings beyond
+        # the candidate scan above)
+        universe = engine.doc_map.select("doc_id")
+        per_doc = universe.join(per_doc, on="doc_id", how="left").select(
+            "doc_id",
+            F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+            F.coalesce(
+                F.col("present"), F.array().cast("array<long>")
+            ).alias("present"),
+        )
+
+    flag_of = {
+        t: (
+            F.array_contains(F.col("present"), F.lit(vocab[t][0]))
+            if t in vocab
+            else F.lit(False)
+        )
+        for t in all_terms
+    }
+    matched = per_doc.where(_to_condition(ast, flag_of))
+    return (
+        matched.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
