@@ -2045,10 +2045,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("score", 4).alias("score")
         )
 
+    def _gen_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Iceberg CDC analogue (streaming/incremental.generation_changes):
+        the changelog between the pre-ADD and post-ADD generations is
+        exactly the added 20% — one (op, repo, path, commit) row each,
+        computed from doc dictionaries alone (metadata-sized anti-joins)."""
+        import pathlib
+
+        from strucmotif_search_spark.streaming.incremental import (
+            generation_changes,
+        )
+
+        store = _incr_engine(spark, sf_dir, "add").store
+        base_gen = sorted(
+            p.name for p in pathlib.Path(store.root).glob("gen-*")
+        )[0]
+        return generation_changes(spark, store, base_gen).select(
+            "op", "repo", "path", "commit"
+        )
+
     q["ii_bm25_after_add"] = _after_add
     q["ii_bm25_after_remove"] = _after_remove
     q["ii_terms_after_add"] = _terms_after_add
     q["ii_bm25_time_travel"] = _time_travel
+    q["ii_gen_changelog"] = _gen_changelog
     q.update(
         {
             "ii_terms_df_cf": _q_terms_table,
@@ -2148,6 +2168,13 @@ def oracle_sql() -> dict[str, str]:
     sql["ii_bm25_time_travel"] = _bm25_sql(
         ["table", "query"], 10, "or", doc_where="doc_id % 5 != 0"
     )
+    # changelog base->CURRENT of the ADD store: the added 20%, op='add'
+    sql["ii_gen_changelog"] = """
+SELECT 'add' AS op, source AS repo,
+       lpad(CAST(doc_id AS VARCHAR), 12, '0') AS path,
+       md5(text) AS commit
+FROM documents WHERE doc_id % 5 = 0
+"""
     sql["ii_terms_after_add"] = f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)

@@ -400,3 +400,33 @@ def verify_consistency(spark: SparkSession, store: IndexStore) -> dict:
         .count()
     )
     return {"orphan_doc_ids": orphans, "inconsistent_terms": bad_terms}
+
+
+def generation_changes(
+    spark: SparkSession,
+    store: IndexStore,
+    from_gen: str,
+    to_gen: str | None = None,
+) -> DataFrame:
+    """Changelog between two generations — the Iceberg CDC / changelog-scan
+    analogue: one row per document whose MEMBERSHIP changed, (op, repo,
+    path, commit) with op in {'add', 'remove'}.
+
+    Computed from the two generations' doc dictionaries alone (natural-key
+    anti-joins — metadata-sized, content is never read), which is exactly
+    the Iceberg shape: snapshot diffs come from manifests, not data files.
+    A doc present in both but re-added with different content is BOTH a
+    remove and an add (its `commit` key differs).  Compaction produces an
+    empty changelog — it rewrites files, not membership.
+    """
+    a = store.read_table(spark, "doc_map", from_gen).select(*DOC_KEY)
+    b = store.read_table(
+        spark, "doc_map", to_gen or store.current_gen()
+    ).select(*DOC_KEY)
+    added = b.join(a, on=list(DOC_KEY), how="left_anti").select(
+        F.lit("add").alias("op"), *DOC_KEY
+    )
+    removed = a.join(b, on=list(DOC_KEY), how="left_anti").select(
+        F.lit("remove").alias("op"), *DOC_KEY
+    )
+    return added.unionByName(removed)

@@ -490,3 +490,56 @@ def test_time_travel_pinned_generation(spark, corpus, tmp_path_factory):
     # unknown generation fails loudly
     with pytest.raises(FileNotFoundError):
         SearchEngine(spark, store, gen="gen-999999")
+
+
+def test_changelog_and_snapshot_isolation(spark, corpus, tmp_path_factory):
+    """generation_changes is the Iceberg CDC analogue, and an engine
+    constructed before a commit keeps answering from its snapshot (readers
+    never observe a concurrent REMOVE until they re-resolve CURRENT)."""
+    from strucmotif_search_spark.streaming.incremental import (
+        compact,
+        generation_changes,
+    )
+
+    full, base, extra = corpus
+    store = IndexStore(tmp_path_factory.mktemp("cdc"))
+    build_index(spark, base, store, docs_per_shard=64, shards_per_chunk=1 << 20)
+    gen1 = store.current_gen()
+
+    # snapshot isolation: engine constructed NOW, queried after the commits
+    reader = SearchEngine(spark, store)
+    before = [
+        (r["doc_id"], r["score"])
+        for r in reader.search("import def", k=10, with_meta=False).collect()
+    ]
+
+    add_documents(spark, store, extra)
+    gen2 = store.current_gen()
+    # changelog gen1 -> gen2: exactly the added docs, op='add'
+    ch = generation_changes(spark, store, gen1, gen2).toPandas()
+    assert set(ch["op"]) == {"add"} and len(ch) == N_ADD
+    exp_keys = set(
+        map(tuple, extra.select("repo", "path", "commit").toPandas().values)
+    )
+    assert set(map(tuple, ch[["repo", "path", "commit"]].values)) == exp_keys
+
+    rm = extra.select("repo", "path", "commit").limit(20)
+    remove_documents(spark, store, rm)
+    gen3 = store.current_gen()
+    ch2 = generation_changes(spark, store, gen2, gen3).toPandas()
+    assert set(ch2["op"]) == {"remove"} and len(ch2) == 20
+
+    # compaction changes files, not membership: empty changelog
+    gen4 = compact(spark, store)
+    assert generation_changes(spark, store, gen3, gen4).count() == 0
+    # full span composes: adds minus the removed 20
+    span = generation_changes(spark, store, gen1, gen4).toPandas()
+    assert (span["op"] == "add").sum() == N_ADD - 20
+    assert (span["op"] == "remove").sum() == 0
+
+    # the pre-commit reader still answers from its snapshot, bit-identical
+    after = [
+        (r["doc_id"], r["score"])
+        for r in reader.search("import def", k=10, with_meta=False).collect()
+    ]
+    assert after == before

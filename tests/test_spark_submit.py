@@ -194,3 +194,98 @@ def test_update_submit_operation_chain(spark, tmp_path):
 
     eng = SearchEngine(spark, store)
     assert eng.search("import", k=5, with_meta=False).count() == 0
+
+
+def test_query_submit_cli(spark, tmp_path):
+    """The read-side CLI (jobs/query_submit.py): SEARCH, BOOL, time-travel
+    --as-of and CHANGELOG through spark-submit, results parsed from the
+    single JSON stdout line and checked against in-process engines."""
+    from strucmotif_search_spark.build import build_index
+    from strucmotif_search_spark.engine import SearchEngine
+    from strucmotif_search_spark.streaming.incremental import add_documents
+
+    docs = generate_corpus(spark, 200, seed=31, partitions=4)
+    delta = generate_corpus(spark, 40, seed=32, partitions=2)
+    index_root = str(tmp_path / "index_q")
+    store = IndexStore(index_root)
+    build_index(
+        spark, docs, store, docs_per_shard=64,
+        shards_per_chunk=1 << 20, checkpoint_partials=False,
+    )
+    base_gen = store.current_gen()
+    add_documents(spark, store, delta)
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from make_pyfiles import make_pyfiles_zip
+    finally:
+        sys.path.pop(0)
+    zip_path = make_pyfiles_zip(str(tmp_path / "smsp_q.zip"))
+    env = dict(
+        os.environ,
+        PYSPARK_PYTHON=sys.executable,
+        PYSPARK_DRIVER_PYTHON=sys.executable,
+    )
+    env.pop("PYTHONPATH", None)
+
+    def run(*args):
+        proc = subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[2]",
+                "--py-files", zip_path,
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.driver.memory=1g",
+                os.path.join(REPO, "jobs", "query_submit.py"),
+                *args, "--index-root", index_root,
+            ],
+            env=env, cwd=str(tmp_path), capture_output=True, text=True,
+            timeout=300,
+        )
+        assert proc.returncode == 0, (
+            f"query_submit failed\nstdout:\n{proc.stdout[-3000:]}\n"
+            f"stderr:\n{proc.stderr[-3000:]}"
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    # SEARCH against CURRENT == in-process engine
+    out = run("SEARCH", "--query", "import def", "--k", "5")
+    eng = SearchEngine(spark, store)
+    exp = [
+        (r["doc_id"], r["score"])
+        for r in eng.search("import def", k=5, with_meta=False).collect()
+    ]
+    assert [(r["doc_id"], r["score"]) for r in out["rows"]] == exp
+    assert out["gen"] == store.current_gen()
+
+    # time travel through the CLI == in-process pinned engine
+    out = run("SEARCH", "--query", "import def", "--k", "5",
+              "--as-of", base_gen)
+    pinned = SearchEngine(spark, store, gen=base_gen)
+    exp = [
+        (r["doc_id"], r["score"])
+        for r in pinned.search("import def", k=5, with_meta=False).collect()
+    ]
+    assert [(r["doc_id"], r["score"]) for r in out["rows"]] == exp
+    assert out["gen"] == base_gen
+
+    # BOOL: nested expression with a negated subtree
+    out = run("BOOL", "--query", "(import AND def) OR (for NOT import)",
+              "--k", "5")
+    exp = [
+        (r["doc_id"], r["score"])
+        for r in eng.bool_search(
+            "(import AND def) OR (for NOT import)", k=5
+        ).collect()
+    ]
+    assert [(r["doc_id"], r["score"]) for r in out["rows"]] == exp
+
+    # CHANGELOG base -> CURRENT: exactly the genuinely-new delta keys
+    # (delta-plus = requested - known; overlapping natural keys are no-ops)
+    n_new = delta.join(
+        docs, on=["repo", "path", "commit"], how="left_anti"
+    ).count()
+    out = run("CHANGELOG", "--from-gen", base_gen)
+    assert out["n_rows"] == n_new > 0
+    assert {r["op"] for r in out["rows"]} == {"add"}
