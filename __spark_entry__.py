@@ -505,8 +505,12 @@ def _bool_sql(expr: str, k: int) -> str:
         f"COALESCE(BOOL_OR(c.term = '{t}'), false) AS {flag[t]}"
         for t in terms
     )
+    # widening universe = ALL documents (the engine widens to doc_map,
+    # which includes token-less docs; dl would silently drop them)
     universe = (
-        "dl" if widen else "(SELECT DISTINCT doc_id FROM contrib)"
+        "(SELECT doc_id FROM documents)"
+        if widen
+        else "(SELECT DISTINCT doc_id FROM contrib)"
     )
     return f"""
 WITH tok AS (
@@ -2039,7 +2043,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         base_gen = sorted(
             p.name for p in pathlib.Path(store.root).glob("gen-*")
         )[0]
-        eng = SearchEngine(spark, store, gen=base_gen)
+        # memoized like every other engine: a fresh pinned engine would
+        # re-cache norms per invocation
+        key = f"{id(spark)}|{sf_dir}|tt|{base_gen}"
+        if key not in _ENGINES:
+            _ENGINES[key] = SearchEngine(spark, store, gen=base_gen)
+        eng = _ENGINES[key]
         hits = eng.search("table query", k=10, mode="or", with_meta=True)
         return _orig_doc_id(hits).select(
             "doc_id", F.round("score", 4).alias("score")

@@ -62,6 +62,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="join doc metadata onto the hits (late materialized)")
     args = ap.parse_args(argv)
 
+    # fail fast on bad arguments BEFORE paying SparkSession startup (on a
+    # real cluster that is executor allocation, not just a local JVM)
+    if args.kind not in ("CHANGELOG", "MSEARCH") and not args.query:
+        print(json.dumps({"error": f"{args.kind} requires --query"}))
+        return 2
+    if args.kind == "MSEARCH" and not args.queries_file:
+        print(json.dumps({"error": "MSEARCH requires --queries-file"}))
+        return 2
+    if args.kind == "CHANGELOG" and not args.from_gen:
+        print(json.dumps({"error": "CHANGELOG requires --from-gen"}))
+        return 2
+
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName(
@@ -74,20 +86,15 @@ def main(argv: list[str] | None = None) -> int:
     store = IndexStore(args.index_root)
     t0 = time.time()
 
-    if args.kind != "CHANGELOG" and args.kind != "MSEARCH" and not args.query:
-        print(json.dumps({"error": f"{args.kind} requires --query"}))
-        return 2
-
     if args.kind == "CHANGELOG":
         from strucmotif_search_spark.streaming.incremental import (
             generation_changes,
         )
 
-        if not args.from_gen:
-            print(json.dumps({"error": "CHANGELOG requires --from-gen"}))
-            return 2
-        df = generation_changes(spark, store, args.from_gen, args.to_gen)
-        gen = args.to_gen or store.current_gen()
+        # --as-of pins the newer side, same as every other read
+        to_gen = args.to_gen or args.as_of
+        df = generation_changes(spark, store, args.from_gen, to_gen)
+        gen = to_gen or store.current_gen()
     else:
         eng = SearchEngine(spark, store, gen=args.as_of)
         gen = eng.gen
@@ -102,20 +109,24 @@ def main(argv: list[str] | None = None) -> int:
             df = eng.bool_search(args.query, k=args.k, with_meta=args.meta)
         elif args.kind == "PHRASE":
             df = eng.phrase_search(args.query, k=args.k)
+            if args.meta:
+                df = df.join(
+                    eng.doc_map.select(
+                        "doc_id", "repo", "path", "commit", "lang"
+                    ),
+                    on="doc_id",
+                )
         elif args.kind == "FIELDED":
             df = eng.fielded_search(
                 args.query, field=args.field, k=args.k, mode=args.mode,
                 with_meta=args.meta,
             )
         else:  # MSEARCH
-            if not args.queries_file:
-                print(json.dumps({"error": "MSEARCH requires --queries-file"}))
-                return 2
             with open(args.queries_file) as f:
                 qs = [ln.strip() for ln in f if ln.strip()]
             df = eng.msearch(
                 {f"q{i}": q for i, q in enumerate(qs)},
-                k=args.k, mode=args.mode,
+                k=args.k, mode=args.mode, with_meta=args.meta,
             )
 
     rows = [r.asDict(recursive=True) for r in df.collect()]

@@ -71,7 +71,9 @@ class SearchEngine:
         self.store = store
         # resolve the pointer ONCE: all reads below go through self.gen, so
         # the engine is a consistent snapshot even if CURRENT flips mid-init
-        self.gen = gen or store.current_gen()
+        # (`is None` test, not truthiness: gen="" must fail loudly below,
+        # not silently resolve to CURRENT while claiming to be pinned)
+        self.gen = store.current_gen() if gen is None else gen
         if self.gen is None:
             raise FileNotFoundError(f"no published index under {store.root}")
         self._pinned = gen is not None
