@@ -203,6 +203,7 @@ def _bm25_sql(
     offset: int = 0,
     post_filter: str = "",
     must: list[str] | None = None,
+    min_match: int | None = None,
 ) -> str:
     """``tie_by_source``: replay the engine's k-boundary tie-break exactly.
     The engine orders ties by its INTERNAL doc_id — the dense rank over the
@@ -225,6 +226,9 @@ def _bm25_sql(
             "HAVING count(*) = (SELECT count(*) FROM q)"
             if mode == "and" else ""
         )
+    if min_match is not None and mode == "or":
+        # m-of-n relaxed conjunction (engine search_min_match)
+        and_filter = f"HAVING count(*) >= {min_match}"
     where = f"WHERE {doc_where}" if doc_where else ""
     # NOT-term replay: drop docs containing any excluded term AFTER scoring
     # with GLOBAL stats (exclusion is a filter, not a corpus change) but
@@ -2073,11 +2077,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "op", "repo", "path", "commit"
         )
 
+    def _min_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """m-of-n relaxed conjunction (minimum_should_match): 3 of 5 terms
+        must match — the middle ground AND/OR cannot express."""
+        eng = _engine(spark, sf_dir)
+        hits = eng.search_min_match(
+            "window merge batch stream filter", min_match=3, k=10,
+            with_meta=True,
+        )
+        return _orig_doc_id(hits).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    def _term_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-doc term vector from the index alone (_termvectors API):
+        (term, tf, df, cf) for the doc with original doc_id 7."""
+        eng = _engine(spark, sf_dir)
+        key = (
+            _docs(spark, sf_dir).where(F.col("doc_id") == 7)
+            .select(
+                F.col("source").alias("repo"),
+                F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
+                F.md5(F.col("text")).alias("commit"),
+            )
+            .first()
+        )
+        return eng.term_vector(key["repo"], key["path"], key["commit"])
+
     q["ii_bm25_after_add"] = _after_add
     q["ii_bm25_after_remove"] = _after_remove
     q["ii_terms_after_add"] = _terms_after_add
     q["ii_bm25_time_travel"] = _time_travel
     q["ii_gen_changelog"] = _gen_changelog
+    q["ii_bm25_min_match"] = _min_match
+    q["ii_term_vector"] = _term_vector
     q.update(
         {
             "ii_terms_df_cf": _q_terms_table,
@@ -2177,6 +2210,20 @@ def oracle_sql() -> dict[str, str]:
     sql["ii_bm25_time_travel"] = _bm25_sql(
         ["table", "query"], 10, "or", doc_where="doc_id % 5 != 0"
     )
+    sql["ii_bm25_min_match"] = _bm25_sql(
+        ["window", "merge", "batch", "stream", "filter"], 10, "or",
+        min_match=3,
+    )
+    sql["ii_term_vector"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       GROUP BY doc_id, term),
+gl AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+       FROM tf GROUP BY term)
+SELECT tf.term, tf.tf, gl.df, gl.cf
+FROM tf JOIN gl ON tf.term = gl.term
+WHERE tf.doc_id = 7
+"""
     # changelog base->CURRENT of the ADD store: the added 20%, op='add'
     sql["ii_gen_changelog"] = """
 SELECT 'add' AS op, source AS repo,

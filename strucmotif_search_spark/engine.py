@@ -808,6 +808,62 @@ class SearchEngine:
         )
         return self._materialize(hits, k) if with_meta else hits
 
+    def search_min_match(
+        self,
+        query: str,
+        min_match: int,
+        k: int = 10,
+        with_meta: bool = False,
+        expansions: dict[str, list[str]] | None = None,
+    ) -> DataFrame:
+        """Relaxed conjunction (Elasticsearch ``minimum_should_match``): a
+        hit must match at least ``min_match`` of the query's scoring groups
+        — min_match=1 is OR, min_match=n is AND, anything between is the
+        m-of-n middle ground AND/OR cannot express.  Same deterministic
+        scoring contract as ``search`` (query/bm25.py for the plan)."""
+        plan = self.plan(query, expansions=expansions)
+        hits = bm25_topk_naive(
+            self.spark,
+            self.postings,
+            self.doc_map.select("doc_id", "doclen"),
+            plan,
+            k=k,
+            mode="or",
+            min_match=min_match,
+        )
+        return self._materialize(hits, k) if with_meta else hits
+
+    def term_vector(self, repo: str, path: str, commit: str) -> DataFrame:
+        """Per-document term vector (the Elasticsearch _termvectors API):
+        (term, tf, df, cf) for one document addressed by natural key —
+        resolved entirely from the INDEX (doc dictionary lookup, pushed-down
+        posting scan by the doc's shard, broadcast terms join); content is
+        never re-read or re-tokenized."""
+        from .build.postings import decode_postings
+
+        row = (
+            self.doc_map.where(
+                (F.col("repo") == repo)
+                & (F.col("path") == path)
+                & (F.col("commit") == commit)
+            )
+            .select("doc_id", "shard")
+            .first()
+        )
+        if row is None:
+            raise KeyError(f"unknown document {(repo, path, commit)!r}")
+        decoded = decode_postings(
+            self.postings.where(F.col("shard") == row["shard"])
+        )
+        return (
+            decoded.where(F.col("doc_id") == row["doc_id"])
+            .join(
+                F.broadcast(self.terms.select("term_id", "term", "df", "cf")),
+                on="term_id",
+            )
+            .select("term", "tf", "df", "cf")
+        )
+
     def phrase_search(
         self, phrase: str, k: int = 10, decoded_blocks_acc=None
     ) -> DataFrame:

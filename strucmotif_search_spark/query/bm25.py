@@ -90,9 +90,20 @@ def bm25_topk_naive(
     mode: str = "or",
     allowed: DataFrame | None = None,
     excluded: DataFrame | None = None,
+    min_match: int | None = None,
 ) -> DataFrame:
-    """Top-k (doc_id, score) DataFrame. Deterministic: ties -> doc_id asc."""
+    """Top-k (doc_id, score) DataFrame. Deterministic: ties -> doc_id asc.
+
+    ``min_match``: OR-mode relaxed conjunction (the Elasticsearch
+    ``minimum_should_match`` shape): a hit must match at least this many
+    scoring groups.  min_match=1 is plain OR, min_match=n_groups is AND —
+    the same conjunctive-counting trick (A6) at an arbitrary threshold.
+    Groups ABSENT from the corpus count toward nothing: a query of 3 terms
+    with one absent term and min_match=3 is unanswerable and returns empty
+    (matching the AND-mode early exit)."""
     if plan.empty_or or (mode == "and" and plan.empty_and):
+        return _empty_result(spark)
+    if min_match is not None and min_match > len(plan.groups):
         return _empty_result(spark)
 
     d = bm25_group_contribs(postings, norms_decoded, plan)
@@ -108,6 +119,8 @@ def bm25_topk_naive(
     )
     if mode == "and":
         per_doc = per_doc.where(F.col("n_matched") == len(plan.groups))
+    elif min_match is not None and min_match > 1:
+        per_doc = per_doc.where(F.col("n_matched") >= min_match)
     if allowed is not None:  # P1 whitelist — left-semi
         per_doc = per_doc.join(allowed.select("doc_id"), on="doc_id", how="left_semi")
     if excluded is not None:  # P2 blacklist — left-anti

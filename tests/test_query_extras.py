@@ -518,3 +518,89 @@ def test_delete_by_query_absent_is_noop(spark, tmp_path_factory):
     eng.delete_by_query("zz_absent", mode="or")
     eng2 = SearchEngine(spark, store)
     assert eng2.doc_map.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# minimum_should_match + term vectors
+# ---------------------------------------------------------------------------
+
+def test_min_match_sweep_vs_brute_force(engine):
+    """m-of-n for every m: m=1 equals OR, m=n equals AND, the middle is the
+    n_matched>=m filter over the OR scoring — checked against the numpy
+    oracle's scored set."""
+    oracle, texts = _oracle(engine)
+    q = "table query stream"
+    q_terms = sorted(set(tokenize(q)))
+    or_hits = {d: s for d, s in bm25_topk(oracle, q, k=100, mode="or")}
+    for m in (1, 2, 3):
+        exp = sorted(
+            (
+                (d, s)
+                for d, s in or_hits.items()
+                if sum(
+                    t in oracle.postings
+                    and d in set(oracle.postings[t][0].tolist())
+                    for t in q_terms
+                )
+                >= m
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )
+        got = [
+            (r["doc_id"], r["score"])
+            for r in engine.search_min_match(q, min_match=m, k=100).collect()
+        ]
+        assert got == pytest.approx(exp), f"m={m}"
+    # m=n equals AND exactly
+    and_hits = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(q, k=100, mode="and", with_meta=False).collect()
+    ]
+    got3 = [
+        (r["doc_id"], r["score"])
+        for r in engine.search_min_match(q, min_match=3, k=100).collect()
+    ]
+    assert got3 == and_hits
+
+
+def test_min_match_absent_term_semantics(engine):
+    # 3 terms, one absent: m=3 is unanswerable (Lucene clause counting);
+    # m=2 requires both present terms
+    got = engine.search_min_match("table query zzznope", min_match=3, k=10)
+    assert got.count() == 0
+    got2 = [
+        r["doc_id"]
+        for r in engine.search_min_match(
+            "table query zzznope", min_match=2, k=100
+        ).collect()
+    ]
+    both = [
+        r["doc_id"]
+        for r in engine.search(
+            "table query", k=100, mode="and", with_meta=False
+        ).collect()
+    ]
+    assert got2 == both
+
+
+def test_term_vector_matches_recount(engine):
+    oracle, texts = _oracle(engine)
+    # doc p2: stream x3, batch, filter, table
+    key = ("r", "p2", "c2")
+    tv = {
+        r["term"]: (r["tf"], r["df"], r["cf"])
+        for r in engine.term_vector(*key).collect()
+    }
+    doc_id = next(
+        d for (k, d) in (
+            ((r["repo"], r["path"], r["commit"]), r["doc_id"])
+            for r in engine.doc_map.collect()
+        ) if k == key
+    )
+    toks = tokenize(texts[doc_id])
+    exp_tf = {t: toks.count(t) for t in set(toks)}
+    assert {t: v[0] for t, v in tv.items()} == exp_tf
+    for t, (tf, df, cf) in tv.items():
+        assert df == oracle.df[t] and cf == oracle.cf[t]
+    with pytest.raises(KeyError):
+        engine.term_vector("r", "nope", "c0")
