@@ -197,3 +197,36 @@ def test_bool_search_with_meta(fixture):
     eng, _, _ = fixture
     rows = eng.bool_search("import AND def", k=3, with_meta=True).collect()
     assert rows and {"repo", "path", "score"} <= set(rows[0].asDict())
+
+
+def test_bool_plan_shapes(fixture):
+    eng, oracle, tid = fixture
+    # candidate-bounded path: the expression-term IN filter reaches the
+    # posting scan; no doc dictionary in the plan; a global top-k operator
+    def dm_read_schemas(plan):
+        return [
+            ln.split("ReadSchema: ")[1]
+            for ln in plan.splitlines()
+            if "doc_map" in ln and "ReadSchema" in ln
+        ]
+
+    hits = eng.bool_search("(import AND def) OR (for NOT import)", k=5)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "term_id" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the dictionary is touched only for doclen norms — metadata columns,
+    # never the wide natural-key/meta fields
+    for rs in dm_read_schemas(plan):
+        assert set(rs.split("<")[1].rstrip(">\n").split(",")) <= {
+            "doc_id:bigint", "doclen:bigint"
+        }, rs
+    # widening path: the doc-universe left join appears, still metadata-only
+    hits = eng.bool_search("import OR NOT def", k=5)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    schemas = dm_read_schemas(plan)
+    assert schemas
+    for rs in schemas:
+        assert set(rs.split("<")[1].rstrip(">\n").split(",")) <= {
+            "doc_id:bigint", "doclen:bigint"
+        }, rs
