@@ -978,6 +978,20 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     queries["build_index"] = round(build_sec, 3)
+
+    # window gate per SECTION, not just for the build: windows drift over
+    # minutes, and best-of-3 immediate reps share one window — a collapsed
+    # phase mid-suite would otherwise print 2-5x rows as the numbers of
+    # record (observed: probe 1564 MB/s -> every row uniformly ~3x slow).
+    # _wait_clean_window actively repairs (fault-in free memory) and costs
+    # one ~1s probe when the window is already clean; readings are recorded
+    # in the artifact so a permanently-dirty run is flagged, not silent.
+    suite_probes: dict[str, float] = {}
+
+    def _gate(section: str) -> None:
+        suite_probes[section] = round(_wait_clean_window(probe_min), 1)
+
+    _gate("queries")
     # warm the query path once (codegen + python worker pools + norms cache)
     # so q01 doesn't carry one-time costs the other rows don't
     engine.search("warmup_token value", k=5, with_meta=False).collect()
@@ -1008,7 +1022,7 @@ def main() -> None:
     queries["q11_expanded_or"] = round(best, 3)
     log(f"[bench] q11_expanded_or: {best*1000:.0f} ms")
 
-    # q21: nested boolean expression (query/boolquery.py) — candidate-
+    # q22: nested boolean expression (query/boolquery.py) — candidate-
     # bounded flags plan with a negated subtree
     best = float("inf")
     for _ in range(2):
@@ -1017,10 +1031,11 @@ def main() -> None:
             "(value AND table) OR (window NOT merge)", k=10
         ).collect()
         best = min(best, time.time() - t0)
-    queries["q21_boolexpr"] = round(best, 3)
-    log(f"[bench] q21_boolexpr: {best*1000:.0f} ms")
+    queries["q22_boolexpr"] = round(best, 3)
+    log(f"[bench] q22_boolexpr: {best*1000:.0f} ms")
 
     # operator benches
+    _gate("operators")
     t0 = time.time()
     dedup.exact_dedup(docs).count()
     queries["op_exact_dedup"] = round(time.time() - t0, 3)
@@ -1075,6 +1090,7 @@ def main() -> None:
     queries["op_facet_counts"] = round(time.time() - t0, 3)
 
     # ---- positional build + phrase row (J3 path, head-term phrase) ----
+    _gate("positional")
     pos_root = tempfile.mkdtemp(prefix="bench_pos_")
     t0 = time.time()
     build_index(
@@ -1182,6 +1198,7 @@ def main() -> None:
         add_documents, compact,
     )
 
+    _gate("incremental")
     delta = generate_corpus(spark, 200, seed=99, partitions=8)
     t0 = time.time()
     add_documents(spark, IndexStore(root), delta)
@@ -1210,6 +1227,7 @@ def main() -> None:
     # StrucmotifConfig.java:34) ---- 8 client threads submit the q01-q10
     # suite as overlapping Spark jobs on one session; QPS vs the sequential
     # sum shows scheduler-level query concurrency, not just per-query speed
+    _gate("concurrency")
     import concurrent.futures as _cf
 
     def _one(args):
@@ -1283,6 +1301,7 @@ def main() -> None:
         try:
             import shutil
 
+            _gate("at_scale")
             big_root = tempfile.mkdtemp(prefix="bench_qscale_")
             big = generate_corpus(
                 spark, at_scale_docs, seed=7, partitions=cpus * 2
@@ -1386,6 +1405,9 @@ def main() -> None:
             "build_reps_sec": [round(w, 2) for w in build_reps],
         },
         "scaling": scaling,
+        # per-section clean-window probe readings (MB/s; floor = probe_min):
+        # a row measured after a below-floor reading is window-suspect
+        "suite_window": suite_probes,
     }
     # a skip-scaling iteration run (local suite work, often at a small sf)
     # must not clobber the repo's record artifacts — write sidecars instead
