@@ -278,6 +278,8 @@ def cms_estimate(
             h = hashlib.md5(f"{d}|{t}".encode()).hexdigest()
             want.setdefault((d, int(h[:8], 16) % width), []).append(t)
     keys = list(want)
+    if not keys:  # no terms -> nothing to probe (where(None) would throw)
+        return {}
     cond = None
     for d, b in keys:
         c = (F.col("hash_row") == d) & (F.col("bucket") == b)

@@ -97,8 +97,13 @@ def match_set(engine, query: str, mode: str = "or") -> DataFrame | None:
     Plan: pushed-down ``In(term_id)`` posting scan (S6), per-block doc-id
     decode, OR = distinct / AND = per-doc distinct-term count == n (A6);
     shuffles carry fixed-width (doc_id) rows of the match set only."""
+    from ..tokenizer import analyze_text
     from .planner import plan_query
 
+    # same analysis as engine.search: a code-analyzer index must match
+    # 'getFoo' as get+foo here too, or delete_by_query/facet_counts would
+    # silently disagree with search on what matches
+    query = analyze_text(query, engine.analyzer)
     plan = plan_query(
         query,
         engine.terms,
@@ -186,8 +191,12 @@ def explain_contributions(
     Nothing here scales with the corpus — only with ``len(doc_ids)`` and
     the query's posting blocks for those shards."""
     from ..build.postings import decode_postings
+    from ..tokenizer import analyze_text
     from .planner import plan_query
 
+    # analyze like engine.search so explained contributions sum to the
+    # score the SEARCH actually produced, analyzer included
+    query = analyze_text(query, engine.analyzer)
     plan = plan_query(
         query,
         engine.terms,
@@ -257,9 +266,13 @@ def more_like_this(
     from collections import Counter
 
     from ..oracle import tokenize
+    from ..tokenizer import analyze_text
     from .planner import idf
 
-    tf = Counter(tokenize(content))
+    # probe content goes through the generation's analyzer — its tokens
+    # must live in the SAME vocabulary the index was built with (analyzed
+    # tokens are analyzer fixed points, so search's re-analysis is a no-op)
+    tf = Counter(tokenize(analyze_text(content, engine.analyzer)))
     found = engine._vocab_lookup(sorted(tf))
     n_docs = int(engine._stats_row["n_docs"])
     weighted = sorted(
@@ -270,6 +283,7 @@ def more_like_this(
     )[:max_terms]
     if not weighted:
         return engine.spark.createDataFrame([], "doc_id long, score double")
+    search_kw.setdefault("mode", "or")  # caller-supplied mode wins
     return engine.search(
-        " ".join(t for _w, t in weighted), k=k, mode="or", **search_kw
+        " ".join(t for _w, t in weighted), k=k, **search_kw
     )

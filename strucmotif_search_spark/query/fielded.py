@@ -84,8 +84,14 @@ def field_stats(
     average, mirroring BM25's corpus-wide avgdl convention."""
     from ..tokenizer import analyze_expr
 
+    # NULL field values are zero-token docs, not missing docs: coalesce to
+    # '' so F.avg counts them (size(regexp(NULL)) is NULL and avg would
+    # silently skip the row, inflating avg_fieldlen vs the all-docs
+    # convention the docstring promises)
     toks = F.regexp_extract_all(
-        analyze_expr(F.col(field_col), analyzer), F.lit(TOKEN_PATTERN), 0
+        analyze_expr(F.coalesce(F.col(field_col), F.lit("")), analyzer),
+        F.lit(TOKEN_PATTERN),
+        0,
     )
     row = doc_map.select(
         F.count("*").alias("n"),

@@ -179,3 +179,46 @@ def test_code_analyzer_idempotent():
         t = " ".join(rng.choice(frags) for _ in range(rng.randint(1, 8)))
         once = analyze_text(t, "code")
         assert analyze_text(once, "code") == once
+
+
+def test_match_set_and_explain_apply_analyzer(engine):
+    """match_set (facet_counts / delete_by_query core), explain and MLT
+    must analyze the query like search does — a camelCase query against a
+    code-analyzer index resolves through the casefolded/split vocabulary."""
+    from strucmotif_search_spark.query.analytics import (
+        explain_contributions,
+        match_set,
+        more_like_this,
+    )
+
+    hits = {
+        r["doc_id"]
+        for r in engine.search("getFoo", k=50, with_meta=False).collect()
+    }
+    assert hits  # p0, p3 at least
+    ms = {r["doc_id"] for r in match_set(engine, "getFoo").collect()}
+    assert ms == hits
+
+    # explain: per-term contributions for the analyzed subtokens sum to
+    # the search score for each explained doc
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in engine.search("getFoo", k=50, with_meta=False).collect()
+    }
+    exp = explain_contributions(engine, "getFoo", sorted(hits)).collect()
+    assert {r["term"] for r in exp} <= {"get", "foo"}
+    import collections
+
+    per_doc = collections.defaultdict(float)
+    for r in exp:
+        per_doc[r["doc_id"]] += r["contrib"]
+    for d, s in scores.items():
+        assert abs(per_doc[d] - s) < 1e-9
+
+    # MLT: a camelCase probe finds the camelCase-indexed docs
+    mlt = more_like_this(engine, "some getFoo helper code", k=10)
+    assert mlt.count() > 0
+    # and forwarding mode does not collide with the default
+    assert more_like_this(
+        engine, "some getFoo helper code", k=10, mode="or"
+    ).count() > 0

@@ -265,3 +265,16 @@ def test_qualified_plan_pushes_term_filter(engine):
     plan = hits._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "term_id" in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_field_stats_counts_null_fields_as_zero_tokens(spark):
+    from strucmotif_search_spark.query.fielded import field_stats
+
+    dm = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e f"), (3, None)],
+        "doc_id long, lang string",
+    )
+    n, avg_fl = field_stats(dm, "lang")
+    assert n == 4
+    # NULL fields are zero-token docs IN the average: (3+0+3+0)/4
+    assert avg_fl == pytest.approx(1.5)

@@ -1109,6 +1109,8 @@ def test_cms_estimate_never_undercounts(spark):
         assert est[t] >= truth[t]
         assert est[t] <= truth[t] + len(rng_vals) // (1 << 10) + 32
     assert est["zz_absent"] >= 0  # absent may collide but never negative
+    # empty probe list: natural empty dict, no where(None) crash
+    assert sketches.cms_estimate(cms, [], depth=4, width_bits=10) == {}
     cms.unpersist()
 
 
