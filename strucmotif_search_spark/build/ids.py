@@ -32,6 +32,7 @@ def assign_sorted_rank(
     num_partitions: int | None = None,
     start: int = 0,
     return_count: bool = False,
+    return_persisted: bool = False,
 ) -> DataFrame:
     """Add ``id_col`` = ``start`` + global lexicographic rank of ``key_cols``.
 
@@ -41,6 +42,12 @@ def assign_sorted_rank(
     ``return_count=True`` returns ``(df, n_rows)`` — the total is a free
     byproduct of the per-partition counts pass, so callers that need the
     cardinality (broadcast decisions, stats) skip a whole extra count job.
+
+    ``return_persisted=True`` additionally returns the internally persisted
+    range-arranged DataFrame (appended last) so the caller can
+    ``unpersist()`` it once the output is materialized — a targeted release
+    instead of a session-wide ``clearCache()`` that would also evict
+    unrelated caches (live engines' norms, a caller's persisted delta).
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -82,6 +89,10 @@ def assign_sorted_rank(
             yield out
 
     out = with_pid.mapInPandas(add_ids, schema=out_schema)
+    if return_count and return_persisted:
+        return out, acc - start, arranged
     if return_count:
         return out, acc - start
+    if return_persisted:
+        return out, arranged
     return out

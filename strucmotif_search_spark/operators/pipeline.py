@@ -5,8 +5,14 @@ each a single decision signal; a real pretraining-data pipeline runs them
 as one DAG with a fixed precedence and emits an auditable per-document
 decision record (what was kept, what was dropped, and WHY — the reason
 breakdown is what you tune the thresholds against).  This module is that
-composition, expressed as one Catalyst plan so the text column is scanned
-exactly once.
+composition, expressed as one Catalyst plan.  The text column is scanned
+by each independent signal projection (the scalar signals fuse into one
+select; the repetition signals need their own explode-shaped projections —
+three text scans total, joined on doc_id).  At the 100 TB design point the
+right mitigation is persisting the NARROW signal frames (fixed-width
+doc_id + signal columns) or materializing the decision record once and
+tuning thresholds against it — the text column itself never shuffles in
+any stage, which is the invariant that actually matters at scale.
 
 Reference analogue: the reference chains its scan-time admission filters
 the same way — residue pLDDT quality gate, then descriptor admission,
@@ -226,6 +232,13 @@ def pack_sequences(
     docs the bucket-total table is ~10^8 rows; apply the same two-level
     split recursively if even that window ever dominates.  Everything is
     fixed-width (ids + counts) — text never shuffles.
+
+    Cost note: the ``tok`` projection feeds two consumers (the level-1
+    window and the bucket totals), so Catalyst evaluates the tokenize scan
+    twice unless the exchange is reused.  If the double tokenize ever
+    dominates, persist the narrow ``tok`` frame (doc_id/part/n_tokens/_bkt
+    — fixed-width) upstream and pass it in via ``text_col``-precomputed
+    counts; the packing math itself is unchanged.
     """
     from pyspark.sql import Window
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .. import BM25_B, BM25_K1
 from ..oracle import tokenize
-from ..tokenizer import term_frequencies
+from ..tokenizer import analyze_text, term_frequencies
 from .planner import idf as _idf
 
 
@@ -44,21 +44,30 @@ def classify_documents(
     spark = engine.spark
     st = engine._stats_row
     n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
-    lib_terms = sorted({t for q in library.values() for t in tokenize(q)})
+    # library queries AND document content go through the generation's
+    # analyzer — both sides must live in the SAME vocabulary the stored
+    # index's statistics describe (engine.search applies the identical
+    # pre-transform; a code-analyzer index must classify 'getFoo' as
+    # get+foo here too)
+    analyzer = engine.analyzer
+    analyzed = {
+        qid: sorted(set(tokenize(analyze_text(qstr, analyzer))))
+        for qid, qstr in library.items()
+    }
+    lib_terms = sorted({t for ts in analyzed.values() for t in ts})
     df_lookup = {
         r["term"]: int(r["df"])
         for r in engine.terms.where(F.col("term").isin(lib_terms)).collect()
     }
     rows = []
     needed = {}
-    for qid, qstr in library.items():
-        terms = sorted(set(tokenize(qstr)))
+    for qid, terms in analyzed.items():
         needed[qid] = len(terms)
         for t in terms:
             rows.append((qid, t, _idf(n_docs, df_lookup.get(t, 0))))
     lib = spark.createDataFrame(rows, "query_id string, term string, idf double")
 
-    tf = term_frequencies(docs, content_col=content_col)
+    tf = term_frequencies(docs, content_col=content_col, analyzer=analyzer)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
     contrib = (
         tf.join(F.broadcast(lib), on="term")

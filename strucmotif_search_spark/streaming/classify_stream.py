@@ -64,30 +64,44 @@ def classify_stream(
         if batch_df.isEmpty():
             return
         # dense per-batch ids satisfy classify's (doc_id, content) contract;
-        # the natural key rides along and is what the sink keeps
+        # the natural key rides along and is what the sink keeps.  PERSIST:
+        # monotonically_increasing_id is nondeterministic per evaluation,
+        # and `keyed` is consumed twice (inside classify and on the join's
+        # right side) — unpinned, two evaluations could mint different ids
+        # and silently mis-key the join
         keyed = batch_df.select(
             F.col(doc_id_col).alias("doc_key"), "content"
         ).withColumn(
             "doc_id", F.monotonically_increasing_id()
-        )
-        scored = classify_documents(
-            engine,
-            keyed.select("doc_id", "content"),
-            library,
-            mode=mode,
-            min_score=min_score,
-        )
-        out = (
-            scored.join(keyed.select("doc_id", "doc_key"), on="doc_id")
-            .select(
-                "doc_key",
-                "query_id",
-                "score",
-                "n_matched",
-                F.lit(batch_id).alias("batch_id"),
+        ).persist()
+        try:
+            scored = classify_documents(
+                engine,
+                keyed.select("doc_id", "content"),
+                library,
+                mode=mode,
+                min_score=min_score,
             )
-        )
-        out.write.mode("append").parquet(sink_dir)
+            out = (
+                scored.join(keyed.select("doc_id", "doc_key"), on="doc_id")
+                .select(
+                    "doc_key",
+                    "query_id",
+                    "score",
+                    "n_matched",
+                    F.lit(batch_id).alias("batch_id"),
+                )
+            )
+            # idempotent per-batch sink: a batch replayed after a crash
+            # between sink write and checkpoint commit OVERWRITES its own
+            # batch_id partition instead of appending duplicates — this is
+            # what makes the checkpoint's at-least-once redelivery
+            # exactly-once at the sink
+            out.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("batch_id").parquet(sink_dir)
+        finally:
+            keyed.unpersist()
 
     writer = stream.writeStream.foreachBatch(_classify_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -113,32 +113,52 @@ def add_documents(
     # shard count) without bound.  Deterministic: both the new docs and the
     # free list are ranked by exact global sort order.
     free = _free_ids(spark, store, old_gen)
-    ranked = assign_sorted_rank(unknown.select(*DOC_KEY), DOC_KEY, "rank")
+    _rank_persists: list[DataFrame] = []
+    ranked, _p = assign_sorted_rank(
+        unknown.select(*DOC_KEY), DOC_KEY, "rank", return_persisted=True
+    )
+    _rank_persists.append(_p)
     n_free = free.count() if free is not None else 0
+    # minting base: one past the LARGEST id ever used — surviving max OR a
+    # free id above it (REMOVE of the current max leaves such ids; minting
+    # from the surviving max alone would re-issue them and collide).  Both
+    # may be None (empty doc_map after remove-all / no free list).
+    free_max = (
+        free.agg(F.max("doc_id")).first()[0] if free is not None else None
+    )
+    cands = [x for x in (max_id, free_max) if x is not None]
+    base_id = max(cands) if cands else -1
     if n_free:
-        free_ranked = assign_sorted_rank(
-            free.select(F.col("doc_id").alias("reuse_id")), ["reuse_id"], "rank"
+        free_ranked, _p = assign_sorted_rank(
+            free.select(F.col("doc_id").alias("reuse_id")), ["reuse_id"],
+            "rank", return_persisted=True,
         )
+        _rank_persists.append(_p)
         ids = (
             ranked.join(free_ranked, on="rank", how="left")
             .select(
                 *DOC_KEY,
                 F.coalesce(
                     "reuse_id",
-                    F.lit(max_id + 1 - n_free) + F.col("rank"),
+                    F.lit(base_id + 1 - n_free) + F.col("rank"),
                 ).alias("doc_id"),
                 "rank",
             )
         )
     else:
         ids = ranked.select(
-            *DOC_KEY, (F.col("rank") + (max_id + 1)).alias("doc_id"), "rank"
+            *DOC_KEY, (F.col("rank") + (base_id + 1)).alias("doc_id"), "rank"
         )
     ids = ids.drop("rank").withColumn(
         "shard", (F.col("doc_id") / dps).cast("int")
     )
     store.write_table(ids, "ids", gen)
-    spark.catalog.clearCache()
+    # targeted release of the rank pass's internal persists — NOT a global
+    # clearCache, which would also evict the caller's live caches (engine
+    # norms sidecars) and tf_new below
+    for _p in _rank_persists:
+        _p.unpersist()
+    _rank_persists.clear()
     ids = store.read_table(spark, "ids", gen)
 
     affected = [r["shard"] for r in ids.select("shard").distinct().collect()]
@@ -202,17 +222,21 @@ def add_documents(
         (F.col("cf") + F.coalesce("cf_add", F.lit(0))).alias("cf"),
     )
     max_tid = terms.agg(F.max("term_id")).first()[0]
+    if max_tid is None:  # terms table emptied by a remove-all
+        max_tid = -1
     fresh = merged.where(F.col("term_id").isNull()).select(
         "term", F.col("df_add").alias("df"), F.col("cf_add").alias("cf")
     )
-    fresh_ranked = assign_sorted_rank(fresh, ["term"], "term_id", start=max_tid + 1)
+    fresh_ranked, _p = assign_sorted_rank(
+        fresh, ["term"], "term_id", start=max_tid + 1, return_persisted=True
+    )
     store.write_table(
         known_terms.unionByName(fresh_ranked.select("term", "term_id", "df", "cf")),
         "terms",
         gen,
     )
+    _p.unpersist()  # targeted: tf_new and caller caches must survive
     terms_new = store.read_table(spark, "terms", gen)
-    spark.catalog.clearCache()
 
     store.write_table(build_stats(doc_map_new), "stats", gen)
     store.write_table(build_norms(doc_map_new), "norms", gen)
@@ -249,7 +273,10 @@ def remove_documents(
 ) -> str:
     """REMOVE: delete the known subset of ``keys`` (natural-key rows) from a
     new generation.  Affected shards get posting surgery; df/cf shrink
-    exactly; retired doc_ids are not reused."""
+    exactly; retired doc_ids go to the generation's free list, where the
+    next ADD reuses them smallest-first (see ``add_documents``) — external
+    references keyed by doc_id must therefore treat a REMOVE as
+    invalidating the id, not parking it."""
     t0 = time.time()
     old_gen = store.current_gen()
     meta = _meta(store, old_gen)

@@ -222,3 +222,19 @@ def test_match_set_and_explain_apply_analyzer(engine):
     assert more_like_this(
         engine, "some getFoo helper code", k=10, mode="or"
     ).count() > 0
+
+
+def test_classify_applies_analyzer(spark, engine):
+    """classify (and thus classify_stream) must analyze both the library
+    queries and the probe documents with the generation's analyzer."""
+    probes = spark.createDataFrame(
+        [(0, "wrapper around GetFooBar internals"),
+         (1, "totally unrelated words")],
+        "doc_id long, content string",
+    )
+    out = engine.classify(
+        probes, {"lib_getfoo": "getFoo"}, mode="and"
+    ).collect()
+    assert [r["doc_id"] for r in out] == [0]
+    # subtoken count: 'getFoo' -> get+foo, both required in AND mode
+    assert out[0]["n_matched"] == 2

@@ -543,3 +543,67 @@ def test_changelog_and_snapshot_isolation(spark, corpus, tmp_path_factory):
         for r in reader.search("import def", k=10, with_meta=False).collect()
     ]
     assert after == before
+
+
+def test_free_list_mint_base_avoids_collision(spark, tmp_path_factory):
+    """Minting after a REMOVE that retired the HIGHEST doc_ids, with an ADD
+    larger than the free list: fresh ids must start past the largest id
+    ever used, never colliding with reused free ids (round-3 review bug:
+    base was the surviving max, re-issuing the retired top ids)."""
+    from strucmotif_search_spark.corpus import generate_corpus
+
+    store = IndexStore(tmp_path_factory.mktemp("mint"))
+    all_docs = generate_corpus(spark, 120, seed=41, partitions=4).cache()
+    base = all_docs.limit(100)
+    build_index(spark, base, store, docs_per_shard=16, shards_per_chunk=1 << 20)
+    eng0 = SearchEngine(spark, store)
+    # retire the two HIGHEST doc_ids (their natural keys)
+    top = (
+        eng0.doc_map.orderBy(F.desc("doc_id")).limit(2)
+        .select("repo", "path", "commit")
+    )
+    remove_documents(spark, store, top)
+    # add 20 docs: 2 reuse the free ids, 18 mint fresh
+    extra = all_docs.join(
+        base.select("repo", "path", "commit"),
+        on=["repo", "path", "commit"], how="left_anti",
+    )
+    add_documents(spark, store, extra)
+    eng = SearchEngine(spark, store)
+    dm = eng.doc_map.select("doc_id").toPandas()["doc_id"]
+    assert dm.is_unique, "duplicate doc_ids minted"
+    assert len(dm) == 98 + extra.count()
+    assert verify_consistency(spark, store) == {
+        "orphan_doc_ids": 0, "inconsistent_terms": 0,
+    }
+    all_docs.unpersist()
+
+
+def test_add_after_remove_all(spark, tmp_path_factory):
+    """REMOVE of every document empties doc_map/terms; a following ADD must
+    mint from scratch instead of crashing on max(None)."""
+    from strucmotif_search_spark.corpus import generate_corpus
+
+    store = IndexStore(tmp_path_factory.mktemp("rm_all"))
+    docs = generate_corpus(spark, 40, seed=43, partitions=2).cache()
+    build_index(spark, docs, store, docs_per_shard=16, shards_per_chunk=1 << 20)
+    remove_documents(
+        spark, store, docs.select("repo", "path", "commit")
+    )
+    assert SearchEngine(spark, store).doc_map.count() == 0
+    fresh = generate_corpus(spark, 25, seed=44, partitions=2)
+    add_documents(spark, store, fresh)
+    eng = SearchEngine(spark, store)
+    n_new = fresh.join(
+        docs, on=["repo", "path", "commit"], how="left_anti"
+    ).count()
+    assert eng.doc_map.count() == fresh.count() == n_new + (
+        fresh.count() - n_new
+    )
+    dm = eng.doc_map.select("doc_id").toPandas()["doc_id"]
+    assert dm.is_unique
+    assert verify_consistency(spark, store) == {
+        "orphan_doc_ids": 0, "inconsistent_terms": 0,
+    }
+    assert eng.search("import", k=5, with_meta=False).count() > 0
+    docs.unpersist()
