@@ -149,7 +149,10 @@ def build_index(
         spark.catalog.clearCache()
     doc_map = store.read_table(spark, "doc_map", gen)
 
-    n_shards = doc_map.agg(F.max("shard")).first()[0] + 1
+    max_shard = doc_map.agg(F.max("shard")).first()[0]
+    # empty source: publish a valid empty index (0 shards -> 0 chunks)
+    # instead of crashing on None + 1 mid-build with a half-written gen
+    n_shards = (max_shard + 1) if max_shard is not None else 0
     n_chunks = (n_shards + shards_per_chunk - 1) // shards_per_chunk
 
     # ---- stage partials (SPIMI stage 1, per chunk) ---------------------

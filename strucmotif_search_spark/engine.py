@@ -216,13 +216,20 @@ class SearchEngine:
         expansions form one scoring group whose posting lists are unioned
         (tf sums, df = max member df — Lucene SynonymQuery convention).
         """
+        from .oracle import tokenize
         from .tokenizer import analyze_text
 
         query = analyze_text(query, self.analyzer)
         if exclude:
             exclude = analyze_text(exclude, self.analyzer)
-        if should:
+        if should is not None:
             should = analyze_text(should, self.analyzer)
+            if not tokenize(should):
+                # a no-op SHOULD clause ('' or pure punctuation) must not
+                # flip the query into bool mode — with zero SHOULD groups
+                # every group would become MUST and an OR query silently
+                # turns into a full conjunction
+                should = None
         plan = self.plan(query, expansions=expansions, should=should or "")
         if should is not None:
             mode = "bool"
@@ -755,9 +762,13 @@ class SearchEngine:
         pure Catalyst (regexp_extract_all / array_position / slice — no
         Python UDF), so the corpus-side work is one projected scan with the
         join filter pushed to it.  Tokens (not raw character offsets) define
-        the window: the canonical, oracle-replayable form.
+        the window: the canonical, oracle-replayable form.  On a
+        non-standard analyzer, anchors and the snippet window live in the
+        ANALYZED token stream (the same vocabulary the hits matched in).
         """
-        plan = self.plan(query)
+        from .tokenizer import analyze_text
+
+        plan = self.plan(analyze_text(query, self.analyzer))
         hits = self.search(query, k=k, mode=mode, with_meta=False, **kw)
         with_key = F.broadcast(hits).join(
             self.doc_map.select("doc_id", "repo", "path", "commit"),
@@ -767,9 +778,9 @@ class SearchEngine:
             corpus.select("repo", "path", "commit", "content"),
             on=["repo", "path", "commit"],
         )
-        from . import TOKEN_PATTERN
+        from .tokenizer import tokenize_expr
 
-        toks = F.regexp_extract_all(F.col("content"), F.lit(TOKEN_PATTERN), 0)
+        toks = tokenize_expr(F.col("content"), self.analyzer)
         # first occurrence of ANY query term: least() skips NULLs (absent
         # terms) in both Spark and DuckDB — order-independent anchor rule
         anchor = F.least(
@@ -797,7 +808,11 @@ class SearchEngine:
         with_meta: bool = False,
         expansions: dict[str, list[str]] | None = None,
     ) -> DataFrame:
-        plan = self.plan(query, expansions=expansions)
+        from .tokenizer import analyze_text
+
+        plan = self.plan(
+            analyze_text(query, self.analyzer), expansions=expansions
+        )
         hits = bm25_topk_naive(
             self.spark,
             self.postings,
@@ -821,7 +836,11 @@ class SearchEngine:
         — min_match=1 is OR, min_match=n is AND, anything between is the
         m-of-n middle ground AND/OR cannot express.  Same deterministic
         scoring contract as ``search`` (query/bm25.py for the plan)."""
-        plan = self.plan(query, expansions=expansions)
+        from .tokenizer import analyze_text
+
+        plan = self.plan(
+            analyze_text(query, self.analyzer), expansions=expansions
+        )
         hits = bm25_topk_naive(
             self.spark,
             self.postings,

@@ -191,6 +191,7 @@ def _make_scorer(
                     )
             ubs.sort(key=lambda t: (-t[0], t[1].key))
             prune_score = np.zeros(docs_per_shard, dtype=np.float64)
+            cand_range: tuple[int, int] | None = None
             for j, (_, grp) in enumerate(ubs):
                 if cmask is None and j > 0:
                     rem = sum(u for u, _ in ubs[j:])
@@ -203,13 +204,17 @@ def _make_scorer(
                         theta -= 1e-9 * max(1.0, abs(theta))
                         if rem < theta:
                             cmask = (prune_score + rem) >= theta
-                if cmask is None:
+                            cidx = np.flatnonzero(cmask)
+                            # cmask/theta are final from here on — fix the
+                            # candidate block range once, not per group
+                            cand_range = (
+                                int(cidx[0]) + base, int(cidx[-1]) + base,
+                            ) if cidx.size else (base, base)
+                if cand_range is None:
                     dense = group_tf(groups_by_tid, grp, base)
                 else:
-                    cidx = np.flatnonzero(cmask)
                     dense = group_tf(
-                        groups_by_tid, grp, base,
-                        int(cidx[0]) + base, int(cidx[-1]) + base,
+                        groups_by_tid, grp, base, *cand_range
                     )
                 if dense is None:
                     # every block range-skipped for this group — remember
@@ -218,6 +223,11 @@ def _make_scorer(
                     decoded[grp.key] = _NO_POSTINGS
                     continue
                 decoded[grp.key] = dense
+                if cmask is not None:
+                    # theta/cmask are never re-derived once fixed: further
+                    # prune_score accumulation is pure wasted work on the
+                    # scorer hot path
+                    continue
                 # theta must be computed over ELIGIBLE docs only: a
                 # predicate-filtered doc (doclen 0 in norms) is never
                 # emitted, so letting it raise theta would over-prune

@@ -69,6 +69,14 @@ def phrase_topk(
     seq = tokenize(phrase)
     if not seq:
         return spark.createDataFrame([], _RESULT)
+    if len(seq) > 64:
+        # the packed key's +64 bias keeps (pos - slot) non-negative only
+        # for slot indexes <= 64; a longer phrase would underflow slot
+        # keys into the previous doc's range and silently merge documents
+        raise ValueError(
+            f"phrase length {len(seq)} exceeds the packed-key slot "
+            "capacity (64 tokens); split the phrase or widen the key"
+        )
     lookup = {
         r["term"]: (int(r["term_id"]), int(r["df"]))
         for r in terms_table.where(
@@ -150,11 +158,8 @@ def phrase_topk(
                 plists = unpack_positions(bytes(pos_bytes), tfs)
                 n_decoded += 1
                 d = np.repeat(ids[sel], tfs[sel])
-                pos = (
-                    np.concatenate([plists[j] for j in sel])
-                    if sel.size
-                    else np.empty(0, np.int64)
-                )
+                # sel is non-empty here (the continue above guards it)
+                pos = np.concatenate([plists[j] for j in sel])
                 if pos.size and int(pos.max()) >= _POS_CAP - 64:
                     # the packed int64 key cannot represent positions beyond
                     # 2^22 - 64; corrupting keys silently would merge docs —

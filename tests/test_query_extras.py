@@ -604,3 +604,45 @@ def test_term_vector_matches_recount(engine):
         assert df == oracle.df[t] and cf == oracle.cf[t]
     with pytest.raises(KeyError):
         engine.term_vector("r", "nope", "c0")
+
+
+def test_empty_should_clause_stays_or(engine):
+    """should='' (or a should that analyzes to nothing) must NOT flip the
+    query into bool mode — zero SHOULD groups would make every group MUST
+    and silently turn OR into AND."""
+    base = [
+        (r["doc_id"], r["score"])
+        for r in engine.search("table query", k=20, with_meta=False).collect()
+    ]
+    for s in ("", "   "):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in engine.search(
+                "table query", k=20, with_meta=False, should=s
+            ).collect()
+        ]
+        assert got == base
+
+
+def test_naive_and_min_match_equal_search_results(engine):
+    """search_naive and search_min_match(min_match=1) rank identically to
+    the DAAT search (shared analyzed plan, same scoring contract)."""
+    exp = [
+        (r["doc_id"], r["score"])
+        for r in engine.search("table query", k=20, with_meta=False).collect()
+    ]
+    naive = [
+        (r["doc_id"], r["score"])
+        for r in engine.search_naive("table query", k=20).collect()
+    ]
+    mm = [
+        (r["doc_id"], r["score"])
+        for r in engine.search_min_match("table query", min_match=1, k=20).collect()
+    ]
+    assert [d for d, _ in naive] == [d for d, _ in exp]
+    assert [d for d, _ in mm] == [d for d, _ in exp]
+
+
+def test_phrase_longer_than_slot_capacity_raises(engine):
+    with pytest.raises(ValueError, match="slot capacity"):
+        engine.phrase_search(" ".join(["table"] * 65))
