@@ -236,8 +236,20 @@ def extract_features(
                 sizes.append(len(raw))
                 arr = decode_image(raw, fake=fake_decode).astype(np.float64)
                 rng = np.random.default_rng(int(digest[:8], 16))
-                proj = rng.standard_normal((arr.size, FEATURE_DIM))
-                feats.append((arr.reshape(-1) @ proj).astype(np.float32))
+                # chunked projection: generating the full (arr.size x DIM)
+                # Gaussian matrix at once costs ~1.2 GB for one 2048x1536
+                # image.  Chunked row generation draws the SAME Gaussian
+                # stream in the same order (row-major), so the projection is
+                # deterministic for a given payload with flat memory; the
+                # chunked float64 accumulation is fixed-order and reproducible
+                flat = arr.reshape(-1)
+                acc = np.zeros(FEATURE_DIM, dtype=np.float64)
+                chunk = 1 << 18
+                for lo in range(0, flat.size, chunk):
+                    hi = min(lo + chunk, flat.size)
+                    proj = rng.standard_normal((hi - lo, FEATURE_DIM))
+                    acc += flat[lo:hi] @ proj
+                feats.append(acc.astype(np.float32))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),

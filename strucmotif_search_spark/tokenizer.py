@@ -147,6 +147,41 @@ def doclen_expr(content: Column, analyzer: str = "standard") -> Column:
     return F.size(tokenize_expr(content, analyzer))
 
 
+# 32-bit Arrow string offsets cap an array at 2^31 bytes.  Spark's
+# maxRecordsPerBatch bounds ROWS, not bytes, so a batch of large documents
+# (10k rows x 1 MB) can overflow pa.string().  256M chars per slice keeps
+# the worst case (4 bytes/char UTF-8) under the limit while leaving the
+# common path (one slice) untouched.
+_ARROW_SLICE_CHARS = 1 << 28
+
+
+def _content_slices(pdf: "pd.DataFrame"):
+    """Split a pandas batch into row slices whose total content chars stay
+    under the 32-bit Arrow offset budget; yields the input unchanged when
+    it already fits (the overwhelmingly common case)."""
+    import numpy as np
+
+    lens = pdf["content"].map(len).to_numpy(dtype="int64")
+    if int(lens.sum()) <= _ARROW_SLICE_CHARS:
+        yield pdf
+        return
+    bounds = np.searchsorted(
+        np.cumsum(lens),
+        np.arange(_ARROW_SLICE_CHARS, int(lens.sum()), _ARROW_SLICE_CHARS),
+        side="left",
+    )
+    prev = 0
+    for b in list(bounds) + [len(pdf)]:
+        cut = max(int(b), prev + 1)  # a single huge doc still gets a slice
+        if cut > len(pdf):
+            cut = len(pdf)
+        if cut > prev:
+            yield pdf.iloc[prev:cut]
+        prev = cut
+        if prev >= len(pdf):
+            break
+
+
 def _tf_batches(
     batches: Iterator[pd.DataFrame],
     pattern: str,
@@ -182,15 +217,15 @@ def _tf_batches(
         out["content_sha256"] = pdf["content_sha256"].to_numpy()[rows]
         return pd.DataFrame(out)
 
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
-        # 32-bit offsets: Arrow batches are bounded by
-        # spark.sql.execution.arrow.maxRecordsPerBatch (well under 2 GB of
-        # text), and the token array's OFFSETS are ~8 bytes x n_tokens with
-        # large_string — as large as the token bytes themselves.  The map
-        # stage is memory-bandwidth-bound at high parallelism, so halving
-        # offset traffic is real build time.
+    for whole in batches:
+      if len(whole) == 0:
+          continue
+      for pdf in _content_slices(whole):
+        # 32-bit offsets: kept deliberately (the token array's OFFSETS are
+        # ~8 bytes x n_tokens with large_string — as large as the token
+        # bytes themselves, and the map stage is memory-bandwidth-bound).
+        # _content_slices guards the 2 GB offset limit: maxRecordsPerBatch
+        # bounds ROWS, not bytes, so large documents must be re-sliced.
         content = pa.array(pdf["content"], type=pa.string())
         toks = pc.split_pattern_regex(content, pattern="[^A-Za-z0-9_]+")
         parent = pc.list_parent_indices(toks)
@@ -396,9 +431,10 @@ def _run_batches(
             ]
         return pd.DataFrame(cols)
 
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
+    for whole in batches:
+      if len(whole) == 0:
+          continue
+      for pdf in _content_slices(whole):
         doc_id_arr = pdf["doc_id"].to_numpy().astype(np.int64)
         sha_arr = (
             pdf["content_sha256"].to_numpy() if with_sha else None

@@ -109,3 +109,64 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == _expected()
+
+
+def test_sessionize_stream_out_of_order_merges_backward(spark, tmp_path):
+    """Late events WITHIN the watermark must interval-merge: a late event
+    extends a session backward instead of corrupting last_ns, and a batch
+    can bridge two previously separate open sessions (round-3 review bug:
+    the forward fold emitted {20,5} + {28} for this shape)."""
+    src = tmp_path / "ooo_stream"
+    src.mkdir()
+    ckpt = str(tmp_path / "ooo_ckpt")
+    gap_s = 600  # 10 min
+
+    def ts(minutes):
+        return BASE + dt.timedelta(minutes=minutes)
+
+    # batch 1: t=20 only.  batch 2 (watermark still behind): late t=5 and
+    # t=28.  Expected batch semantics over {5,20,28} with gap 10min:
+    # {5} alone (15min to 20) and {20,28} merged.
+    _df(spark, [(ts(20), 1, 1.0)]).coalesce(1).write.parquet(
+        str(src / "part1")
+    )
+    _df(spark, [(ts(5), 1, 2.0), (ts(28), 1, 4.0)]).coalesce(1).write.parquet(
+        str(src / "part2")
+    )
+    _df(spark, [(ts(24 * 60), 9001, 0.0)]).coalesce(1).write.parquet(
+        str(src / "part3")
+    )
+    _df(spark, [(ts(48 * 60), 9002, 0.0)]).coalesce(1).write.parquet(
+        str(src / "part4")
+    )
+    now = time.time()
+    for i, d in enumerate(["part1", "part2", "part3", "part4"]):
+        for root, _dirs, files in os.walk(str(src / d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        # generous watermark delay: the late t=5 event must be admitted
+        .parquet(f"{src}/part*")
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=gap_s, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("ooo_sessions")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start_epoch"], r["n_events"], r["sum_value"])
+        for r in spark.table("ooo_sessions")
+        .where(F.col("user_id") < 9000)
+        .collect()
+    }
+    assert got == {
+        (1, int(ts(5).timestamp()), 1, 2.0),
+        (1, int(ts(20).timestamp()), 2, 5.0),
+    }
