@@ -36,7 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--index-root", required=True,
                     help="directory for the IndexStore (generations+CURRENT)")
     ap.add_argument("--docs-per-shard", type=int, default=8192)
-    ap.add_argument("--shards-per-chunk", type=int, default=1 << 20)
+    ap.add_argument("--shards-per-chunk", type=int, default=None,
+                    help="shards per commit chunk; default: single-chunk "
+                         "for the fused path, the library's chunked "
+                         "default (4) with --checkpoint-partials — "
+                         "per-chunk resume needs MULTIPLE chunks")
     ap.add_argument("--with-positions", action="store_true")
     ap.add_argument("--checkpoint-partials", action="store_true",
                     help="durable per-chunk SPIMI partials (resumable "
@@ -61,13 +65,19 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.source)
     n_docs = docs.count()
     store = IndexStore(args.index_root)
+    # default chunking follows the chosen path: fused one-pass wants one
+    # big chunk; the checkpointed path only resumes per-chunk if there ARE
+    # chunks (the library's default 4)
+    shards_per_chunk = args.shards_per_chunk
+    if shards_per_chunk is None:
+        shards_per_chunk = 4 if args.checkpoint_partials else 1 << 20
     t0 = time.time()
     gen = build_index(
         spark,
         docs,
         store,
         docs_per_shard=args.docs_per_shard,
-        shards_per_chunk=args.shards_per_chunk,
+        shards_per_chunk=shards_per_chunk,
         checkpoint_partials=args.checkpoint_partials,
         with_positions=args.with_positions,
         gen=args.resume_gen,
@@ -78,7 +88,10 @@ def main(argv: list[str] | None = None) -> int:
         "n_docs": n_docs,
         "build_sec": round(build_sec, 3),
         "docs_per_sec": round(n_docs / build_sec, 1),
-        "executors": spark.sparkContext.defaultParallelism,
+        # task slots, NOT executor count (local[N] -> N; standalone ->
+        # cores.max): named truthfully so scaling evidence parsers don't
+        # misread N-vs-4N executor counts off this field
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         "master": spark.sparkContext.master,
     }
     if args.query:

@@ -51,6 +51,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="EXPIRE: retain this many expirable generations")
     args = ap.parse_args(argv)
 
+    # fail fast BEFORE paying SparkSession startup (on a real cluster that
+    # is executor allocation, not just a local JVM)
+    if args.operation in ("ADD", "REMOVE") and not args.source:
+        print(json.dumps({"error": f"{args.operation} requires --source"}))
+        return 2
+    if args.operation == "DELETE" and not args.query:
+        print(json.dumps({"error": "DELETE requires --query"}))
+        return 2
+
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName(
@@ -69,13 +78,6 @@ def main(argv: list[str] | None = None) -> int:
     store = IndexStore(args.index_root)
     t0 = time.time()
     out: dict = {"operation": args.operation, "index_root": args.index_root}
-
-    if args.operation in ("ADD", "REMOVE") and not args.source:
-        print(json.dumps({"error": f"{args.operation} requires --source"}))
-        return 2
-    if args.operation == "DELETE" and not args.query:
-        print(json.dumps({"error": "DELETE requires --query"}))
-        return 2
 
     if args.operation == "ADD":
         delta = spark.read.parquet(args.source)

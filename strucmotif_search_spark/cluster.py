@@ -71,6 +71,7 @@ class StandaloneCluster:
         )
         self.log_dir = f"{log_dir}-{self.port}"
         self._procs: list[subprocess.Popen] = []
+        self._logs: list = []
 
     @property
     def master_url(self) -> str:
@@ -94,36 +95,45 @@ class StandaloneCluster:
         os.makedirs(self.scratch, exist_ok=True)
         os.makedirs(self.log_dir, exist_ok=True)
         env = self._env()
-        self._procs.append(
-            subprocess.Popen(
-                [
-                    SPARK_CLASS,
-                    "org.apache.spark.deploy.master.Master",
-                    "--host", "127.0.0.1",
-                    "--port", str(self.port),
-                    "--webui-port", "0",
-                ],
-                env=env,
-                stdout=open(f"{self.log_dir}/master.log", "w"),
-                stderr=subprocess.STDOUT,
+        # log handles are kept and closed in stop(); a failure after the
+        # master spawned must not leak its JVM (or its bound port) into the
+        # next cluster in the same process
+        try:
+            self._logs.append(open(f"{self.log_dir}/master.log", "w"))
+            self._procs.append(
+                subprocess.Popen(
+                    [
+                        SPARK_CLASS,
+                        "org.apache.spark.deploy.master.Master",
+                        "--host", "127.0.0.1",
+                        "--port", str(self.port),
+                        "--webui-port", "0",
+                    ],
+                    env=env,
+                    stdout=self._logs[-1],
+                    stderr=subprocess.STDOUT,
+                )
             )
-        )
-        _wait_port(self.port)
-        self._procs.append(
-            subprocess.Popen(
-                [
-                    SPARK_CLASS,
-                    "org.apache.spark.deploy.worker.Worker",
-                    self.master_url,
-                    "--cores", str(self.cores),
-                    "--memory", self.memory,
-                    "--webui-port", "0",
-                ],
-                env=env,
-                stdout=open(f"{self.log_dir}/worker.log", "w"),
-                stderr=subprocess.STDOUT,
+            _wait_port(self.port)
+            self._logs.append(open(f"{self.log_dir}/worker.log", "w"))
+            self._procs.append(
+                subprocess.Popen(
+                    [
+                        SPARK_CLASS,
+                        "org.apache.spark.deploy.worker.Worker",
+                        self.master_url,
+                        "--cores", str(self.cores),
+                        "--memory", self.memory,
+                        "--webui-port", "0",
+                    ],
+                    env=env,
+                    stdout=self._logs[-1],
+                    stderr=subprocess.STDOUT,
+                )
             )
-        )
+        except BaseException:
+            self.stop()
+            raise
         return self
 
     def stop(self) -> None:
@@ -135,6 +145,12 @@ class StandaloneCluster:
             except subprocess.TimeoutExpired:
                 p.kill()
         self._procs.clear()
+        for f in self._logs:
+            try:
+                f.close()
+            except OSError:
+                pass
+        self._logs.clear()
 
     def __enter__(self) -> "StandaloneCluster":
         return self.start()
@@ -167,11 +183,21 @@ def get_cluster_spark(
         executor_mem_mb = executor_cores * 768
     if shuffle_partitions is None:
         shuffle_partitions = max(total_cores, 8)
+    # GC threads CAPPED like session.py (min, not max): AlwaysPreTouch with
+    # ~N_CPU parallel GC threads self-inflicts the concurrent-fault collapse
+    # this file documents — a 16-core executor must not pre-touch 16-way
+    gc_threads = max(1, min(executor_cores, 8))
     exec_opts = (
         f"-Xms{executor_mem_mb}m -XX:+UseParallelGC "
         "-XX:+UseTransparentHugePages -XX:+AlwaysPreTouch "
-        f"-XX:ParallelGCThreads={max(executor_cores, 2)}"
+        f"-XX:ParallelGCThreads={gc_threads}"
     )
+    # a caller's extraJavaOptions must MERGE with (not clobber) the
+    # fixed-heap/pre-touch armor — last-config-wins would silently drop it
+    extra_conf = dict(extra_conf or {})
+    user_exec_opts = extra_conf.pop("spark.executor.extraJavaOptions", None)
+    if user_exec_opts:
+        exec_opts = f"{exec_opts} {user_exec_opts}"
     builder = (
         SparkSession.builder.master(cluster.master_url)
         .appName(app_name)

@@ -4,7 +4,9 @@ Produces the exact ``input_hint`` table shape:
     (repo string, path string, commit string, lang string, content string)
 seeded and fully deterministic (FIXTURES.md §1-2) — no external data.  Content
 is a Zipfian token mix with real head terms (``import``, ``return``, ``def``,
-``self``, ``if``, ``for`` present in >=90% of docs — the skew drivers,
+``self``, ``if``, ``for``: >=1 of them lands in 92% of docs, each individual
+head term in ~48% — two orders of magnitude above the Zipf body tier, the
+skew drivers,
 mirroring the reference's "ribosome and virus capsids" skew comment at
 math/Partition.java:27-29), ~20k-identifier Zipf body vocabulary, per-repo
 unique rare identifiers (df in [1,5], exercising rarest-first ordering,
@@ -73,9 +75,16 @@ def _render_partition(
             commit = hashlib.sha256(f"{repo}|{path}|{i}".encode()).hexdigest()[:40]
             n_lines = int(np.clip(rng.lognormal(3.4, 0.8), 1, 2000))
             n_tokens = max(3, n_lines * 4)
-            body = vocab[np.searchsorted(cdf, rng.random(n_tokens))]
+            # clamp: the Zipf CDF's float tail ends a few ulp below 1.0,
+            # so an astronomically rare draw could index past the vocab —
+            # a no-op for every realized draw, a crash guard for the tail
+            body = vocab[np.minimum(
+                np.searchsorted(cdf, rng.random(n_tokens)), VOCAB_SIZE - 1
+            )]
             parts = [body]
-            if rng.random() < 0.92:  # head terms in >=90% of docs
+            # >=1 head term in 92% of docs; each INDIVIDUAL head term
+            # lands in ~48% (0.92 * E[1-(5/6)^k]) — the df-dominant tier
+            if rng.random() < 0.92:
                 k = rng.integers(1, 9)
                 parts.append(rng.choice(heads, size=int(k)))
             if rng.random() < 0.08:  # per-repo rare identifiers, df in [1,5]

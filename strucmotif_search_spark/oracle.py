@@ -84,6 +84,7 @@ def bm25_topk(
     expansions: dict[str, list[str]] | None = None,
     exclude: str | None = None,
     should: str | None = None,
+    term_order: dict[str, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for a query string.
 
@@ -100,6 +101,15 @@ def bm25_topk(
     dfs (Lucene SynonymQuery convention — matches the engine).
     Groups are scored in ascending min-member-term order (fixed float64
     summation order); ties broken by ascending doc_id.
+
+    Summation-order caveat: the ENGINE sums groups by ascending min member
+    *term_id*; for a freshly built index term_ids are the lexicographic
+    rank of the vocabulary, so string order here matches bitwise.  After an
+    incremental ADD that mints NEW terms (ids past the old max), the two
+    orders can differ for queries mixing >= 3 old/new-term groups, and
+    float64 non-associativity can shift the last ulp.  Pass ``term_order``
+    (term -> term_id from the engine's terms table) to replay the engine's
+    exact order in that case.
     """
     base_terms = sorted(set(tokenize(query)))
     should_terms = (
@@ -133,7 +143,13 @@ def bm25_topk(
             # absent SHOULD groups are no-ops (matching the engine planner)
             n_absent += 1 if req else 0
             continue
-        key = min(present)  # ascending term order == ascending min member
+        # ascending min-member order: by engine term_id when provided,
+        # else by term string (identical for fresh-build indexes)
+        key = (
+            min(term_order[m] for m in present)
+            if term_order is not None
+            else min(present)
+        )
         resolved.append((key, present, req))
     resolved.sort()
 

@@ -136,7 +136,7 @@ def test_head_term_phrase_skips_blocks(spark, tmp_path_factory):
         checkpoint_partials=False, with_positions=True,
     )
     eng = SearchEngine(spark, store)
-    # rare: a per-repo unique identifier; head: 'import' (df ~ 0.9 * N)
+    # rare: a per-repo unique identifier; head: 'import' (df ~ 0.48 * N)
     rare = (
         eng.terms.orderBy("df", "term_id").where(F.col("df") <= 3)
         .first()["term"]
