@@ -56,8 +56,16 @@ def _as_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def _skey(spark: SparkSession) -> str:
+    """Memo key for _ENGINES: applicationId is unique per SparkSession —
+    id(spark) can be REUSED by CPython after a stopped session is GC'd,
+    silently handing back engines whose cached DataFrames belong to a dead
+    context."""
+    return spark.sparkContext.applicationId
+
+
 def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
-    key = f"{id(spark)}|{sf_dir}"
+    key = f"{_skey(spark)}|{sf_dir}"
     if key not in _ENGINES:
         import tempfile
 
@@ -91,7 +99,7 @@ def _incr_engine(spark: SparkSession, sf_dir: str, kind: str) -> SearchEngine:
     of the update identical to a from-scratch build (the reference's
     update-consistency contract, UpdateIntegrationTest.java:100-171).
     """
-    key = f"{id(spark)}|{sf_dir}|{kind}"
+    key = f"{_skey(spark)}|{sf_dir}|{kind}"
     if key not in _ENGINES:
         import tempfile
 
@@ -136,7 +144,7 @@ def _code_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     plain substring replaces, replayed verbatim in the DuckDB oracle) and
     the index is built with analyzer='code' (camel/snake subtoken split +
     casefold, tokenizer.analyze_expr)."""
-    key = f"{id(spark)}|{sf_dir}|code"
+    key = f"{_skey(spark)}|{sf_dir}|code"
     if key not in _ENGINES:
         import tempfile
 
@@ -204,6 +212,7 @@ def _bm25_sql(
     post_filter: str = "",
     must: list[str] | None = None,
     min_match: int | None = None,
+    tie_clause: str | None = None,
 ) -> str:
     """``tie_by_source``: replay the engine's k-boundary tie-break exactly.
     The engine orders ties by its INTERNAL doc_id — the dense rank over the
@@ -240,11 +249,22 @@ def _bm25_sql(
             "WHERE sc.doc_id NOT IN (SELECT DISTINCT tf.doc_id FROM tf "
             f"JOIN (VALUES {evals}) e(term) ON tf.term = e.term)"
         )
+    # tie_clause: full custom k-boundary tie order (e.g. the after-ADD
+    # engine ranks added docs AFTER all base docs regardless of source —
+    # "(td.doc_id % 5 = 0) ASC, td.source ASC, sc.doc_id ASC")
     tie_join = (
-        "JOIN documents td ON sc.doc_id = td.doc_id" if tie_by_source else ""
+        "JOIN documents td ON sc.doc_id = td.doc_id"
+        if (tie_by_source or tie_clause)
+        else ""
     )
     tie_order = (
-        "td.source ASC, sc.doc_id ASC" if tie_by_source else "sc.doc_id ASC"
+        tie_clause
+        if tie_clause
+        else (
+            "td.source ASC, sc.doc_id ASC"
+            if tie_by_source
+            else "sc.doc_id ASC"
+        )
     )
     # post_filter: P3 search-space predicate replay — filter AFTER scoring
     # with GLOBAL stats (the engine masks norms, it does not restat the
@@ -261,7 +281,7 @@ WITH tok AS (
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
-st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+st AS (SELECT (SELECT count(*) FROM documents {where})::DOUBLE AS n, (SELECT coalesce(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents {where}) AS avgdl),
 q(term) AS (VALUES {vals}),
 qdf AS (
   SELECT q.term,
@@ -313,7 +333,7 @@ tok AS (
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
-st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, (SELECT coalesce(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
 q(term) AS (VALUES {vals}),
 qdf AS (
   SELECT q.term,
@@ -523,7 +543,7 @@ WITH tok AS (
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
-st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, (SELECT coalesce(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
 q(term) AS (VALUES {vals}),
 qdf AS (
   SELECT q.term,
@@ -603,7 +623,7 @@ WITH tok AS (
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
-st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, (SELECT coalesce(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
 tdf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 grp(term, gkey) AS ({grp_body}),
 gdf AS (
@@ -879,7 +899,7 @@ def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-threshold draw, replayed exactly by the oracle)."""
     from strucmotif_search_spark.operators import pipeline
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return pipeline.sample_stratified(
         docs, _SAMPLE_RATES, strata_col="lang", default_rate=0.05, seed=7
     ).select("doc_id", "lang", "source")
@@ -1104,7 +1124,7 @@ def _q_bm25_after_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     'customer' (full match set from the index, engine.delete_by_query),
     then BM25 over the survivors must equal a from-scratch oracle over the
     corpus minus those docs — df/cf/avgdl shrink exactly (E2/E3 surgery)."""
-    key = f"{id(spark)}|{sf_dir}|dbq"
+    key = f"{_skey(spark)}|{sf_dir}|dbq"
     if key not in _ENGINES:
         import tempfile
 
@@ -1115,7 +1135,9 @@ def _q_bm25_after_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs_per_shard=512, shards_per_chunk=1 << 20,
             checkpoint_partials=False,
         )
-        SearchEngine(spark, store).delete_by_query("customer", mode="or")
+        pre = SearchEngine(spark, store)
+        pre.delete_by_query("customer", mode="or")
+        pre.norms.unpersist()  # throwaway engine: drop its cached sidecar
         _ENGINES[key] = SearchEngine(spark, store)  # post-delete generation
     hits = _ENGINES[key].search("table query", k=10, with_meta=True)
     return _orig_doc_id(hits).select(
@@ -1156,7 +1178,7 @@ WITH tok AS (
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
-st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, (SELECT coalesce(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
 q(term) AS (VALUES {vals}),
 qdf AS (
   SELECT q.term,
@@ -1240,7 +1262,7 @@ WITH tok AS (
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
-st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, (SELECT coalesce(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
 qmap(query_id, term) AS (VALUES {vals}),
 qdf AS (
   SELECT qmap.query_id, qmap.term,
@@ -1261,11 +1283,15 @@ scores AS (
   SELECT query_id, doc_id, sum(c) AS s FROM contrib GROUP BY query_id, doc_id
 ),
 ranked AS (
-  SELECT query_id, doc_id, s,
+  SELECT sc.query_id, sc.doc_id, sc.s,
          row_number() OVER (
-           PARTITION BY query_id ORDER BY s DESC, doc_id ASC
+           PARTITION BY sc.query_id
+           -- engine tie order is INTERNAL doc_id = (source, lpad(doc_id))
+           -- rank; plain doc_id ASC diverges on bitwise score ties (one
+           -- exists in the sf0.001 fixtures for 'customer')
+           ORDER BY sc.s DESC, td.source ASC, sc.doc_id ASC
          ) AS rn
-  FROM scores
+  FROM scores sc JOIN documents td ON sc.doc_id = td.doc_id
 )
 SELECT query_id, doc_id, round(s, 4) AS score
 FROM ranked WHERE rn <= {k}
@@ -2049,7 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )[0]
         # memoized like every other engine: a fresh pinned engine would
         # re-cache norms per invocation
-        key = f"{id(spark)}|{sf_dir}|tt|{base_gen}"
+        key = f"{_skey(spark)}|{sf_dir}|tt|{base_gen}"
         if key not in _ENGINES:
             _ENGINES[key] = SearchEngine(spark, store, gen=base_gen)
         eng = _ENGINES[key]
@@ -2202,13 +2228,24 @@ def oracle_sql() -> dict[str, str]:
     sql["ii_bm25_pruned_topk"] = _bm25_sql(["value", "table"], 10, "or")
     # incremental-path oracles: after ADD the index must equal a full-corpus
     # build; after REMOVE, a from-scratch build over the survivors
-    sql["ii_bm25_after_add"] = _bm25_sql(["table", "query"], 10, "or")
+    # k-boundary ties: this exact query ties bitwise at sf0.1 (docs 1619/
+    # 2875), so every incremental-path oracle replays the engine's internal
+    # tie order explicitly.  after-ADD internal ids rank ALL base docs
+    # before any added doc (minting appends past the base max), hence the
+    # custom clause; REMOVE preserves survivor ranks, so plain
+    # (source, doc_id) replays it.
+    sql["ii_bm25_after_add"] = _bm25_sql(
+        ["table", "query"], 10, "or",
+        tie_clause="(td.doc_id % 5 = 0) ASC, td.source ASC, sc.doc_id ASC",
+    )
     sql["ii_bm25_after_remove"] = _bm25_sql(
-        ["table", "query"], 10, "or", doc_where="doc_id % 7 != 0"
+        ["table", "query"], 10, "or", doc_where="doc_id % 7 != 0",
+        tie_by_source=True,
     )
     # time travel: the pre-ADD snapshot is exactly the base-corpus build
     sql["ii_bm25_time_travel"] = _bm25_sql(
-        ["table", "query"], 10, "or", doc_where="doc_id % 5 != 0"
+        ["table", "query"], 10, "or", doc_where="doc_id % 5 != 0",
+        tie_by_source=True,
     )
     sql["ii_bm25_min_match"] = _bm25_sql(
         ["window", "merge", "batch", "stream", "filter"], 10, "or",
@@ -2366,7 +2403,7 @@ WITH tok AS (
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
-st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, (SELECT coalesce(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
 q(term) AS (VALUES ('customer'),('table')),
 qdf AS (
   SELECT q.term,
@@ -2411,7 +2448,7 @@ WITH tok AS (
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
-st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, (SELECT coalesce(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
 tdf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 probe AS (
   SELECT unnest(regexp_extract_all('{_MLT_PROBE}', '{TOKEN_PATTERN}')) AS term
@@ -2447,7 +2484,7 @@ WITH tok AS (
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
-st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, (SELECT coalesce(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
 q(term) AS (VALUES ('customer'),('table')),
 qdf AS (
   SELECT q.term,
@@ -2508,7 +2545,7 @@ GROUP BY doc_id
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
-st AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, (SELECT coalesce(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
 lib(query_id, term) AS (VALUES
   ('q_cust','customer'),('q_cust','table'),
   ('q_stream','batch'),('q_stream','stream')
@@ -2560,16 +2597,22 @@ WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
 """,
+            # ALL docs count (engine convention, build/terms.py:46-50):
+            # token-less docs carry doclen 0 and are IN n_docs/avgdl
             "ii_stats": f"""
 WITH {_TOK_CTE},
 dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id)
-SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_doclen,
-       round(sum(dl)::DOUBLE / count(*), 6) AS avgdl
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       coalesce(sum(dl), 0)::BIGINT AS sum_doclen,
+       round(coalesce(sum(dl), 0)::DOUBLE
+             / (SELECT count(*) FROM documents), 6) AS avgdl
 FROM dl
 """,
             "ii_doclens": f"""
-WITH {_TOK_CTE}
-SELECT doc_id, count(*)::BIGINT AS doclen FROM tok GROUP BY doc_id
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok GROUP BY doc_id)
+SELECT d.doc_id, coalesce(dl.doclen, 0)::BIGINT AS doclen
+FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
 """,
             "ii_doc_sha256": """
 SELECT doc_id, sha256(text) AS content_sha256 FROM documents
