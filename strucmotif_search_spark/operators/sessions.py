@@ -45,7 +45,20 @@ def sessionize(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(value_col), 4).alias("sum_value"),
+            # deterministic float64 sum: event-time order (ties by value),
+            # same discipline as the scorers — an unordered parallel sum
+            # could round differently across runs at 4dp boundaries and
+            # break the batch/stream equivalence contract
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(ts.alias("t"), F.col(value_col).alias("v")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["v"],
+                ),
+                4,
+            ).alias("sum_value"),
         )
         .select(
             key_col,

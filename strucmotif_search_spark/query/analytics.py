@@ -100,6 +100,10 @@ def match_set(engine, query: str, mode: str = "or") -> DataFrame | None:
     from ..tokenizer import analyze_text
     from .planner import plan_query
 
+    if mode not in ("or", "and"):
+        # this feeds delete_by_query: a mode typo must not silently widen
+        # an irreversible delete from intersection to union
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     # same analysis as engine.search: a code-analyzer index must match
     # 'getFoo' as get+foo here too, or delete_by_query/facet_counts would
     # silently disagree with search on what matches
@@ -135,7 +139,16 @@ def suggest_terms(engine, prefix: str, n: int = 10) -> DataFrame:
     Plan: a pushed-down ``StartsWith`` range scan of the dictionary-sized
     terms table + TakeOrderedAndProject — the corpus and the posting store
     are never touched, so cost is bounded by the dictionary at any corpus
-    scale."""
+    scale.
+
+    The prefix runs through the generation's analyzer first (a code-
+    analyzer vocabulary is casefolded/split, so 'getFo' completes from the
+    'fo' subtoken boundary — the last analyzed fragment, the Lucene
+    completion convention)."""
+    from ..tokenizer import analyze_text
+
+    analyzed = analyze_text(prefix, engine.analyzer).split()
+    prefix = analyzed[-1] if analyzed else prefix
     return (
         engine.terms.where(F.col("term").startswith(prefix))
         .select("term", "df")
@@ -155,7 +168,13 @@ def suggest_corrections(
     pushed-down ``length(term) BETWEEN len±d`` pre-filter then the JVM
     ``levenshtein`` expression on the terms table; dictionary-bounded, no
     Python, no corpus scan.  A token already in the vocabulary simply
-    ranks itself first (dist 0)."""
+    ranks itself first (dist 0).  The probe token runs through the
+    generation's analyzer (vocabulary parity: a casefolded index must not
+    spend edit budget on case)."""
+    from ..tokenizer import analyze_text
+
+    toks = analyze_text(token, engine.analyzer).split()
+    token = toks[-1] if toks else token
     # bounded DP: 3-arg levenshtein early-exits above the threshold (-1)
     dist = F.levenshtein(F.col("term"), F.lit(token), max_dist)
     return (
@@ -190,7 +209,6 @@ def explain_contributions(
     a broadcast doc_map join; the contribution itself is a JVM expression.
     Nothing here scales with the corpus — only with ``len(doc_ids)`` and
     the query's posting blocks for those shards."""
-    from ..build.postings import decode_postings
     from ..tokenizer import analyze_text
     from .planner import plan_query
 

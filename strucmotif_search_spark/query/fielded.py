@@ -63,11 +63,9 @@ def field_postings(
     tokens simply have no rows (they can never match, and the field-length
     statistics below are computed over ALL docs separately).
     """
-    from ..tokenizer import analyze_expr
+    from ..tokenizer import tokenize_expr
 
-    toks = F.regexp_extract_all(
-        analyze_expr(F.col(field_col), analyzer), F.lit(TOKEN_PATTERN), 0
-    )
+    toks = tokenize_expr(F.col(field_col), analyzer)
     return (
         doc_map.select("doc_id", toks.alias("toks"))
         .withColumn("fieldlen", F.size("toks"))
@@ -82,17 +80,13 @@ def field_stats(
 ) -> tuple[int, float]:
     """(n_docs, avg_fieldlen) over ALL docs — zero-token fields count in the
     average, mirroring BM25's corpus-wide avgdl convention."""
-    from ..tokenizer import analyze_expr
+    from ..tokenizer import tokenize_expr
 
     # NULL field values are zero-token docs, not missing docs: coalesce to
     # '' so F.avg counts them (size(regexp(NULL)) is NULL and avg would
     # silently skip the row, inflating avg_fieldlen vs the all-docs
     # convention the docstring promises)
-    toks = F.regexp_extract_all(
-        analyze_expr(F.coalesce(F.col(field_col), F.lit("")), analyzer),
-        F.lit(TOKEN_PATTERN),
-        0,
-    )
+    toks = tokenize_expr(F.coalesce(F.col(field_col), F.lit("")), analyzer)
     row = doc_map.select(
         F.count("*").alias("n"),
         F.avg(F.size(toks)).alias("avg_fl"),
@@ -205,9 +199,13 @@ def fielded_topk(
 def parse_qualified(query: str) -> list[tuple[str | None, str]]:
     """Lucene-style field-qualified clause split: ``repo:src18 value`` ->
     [('repo', 'src18'), (None, 'value')] (None = the content field).  A
-    qualifier applies to its one token; unknown punctuation falls to the
-    tokenizer downstream.  Duplicate clauses collapse (set semantics, same
-    as the single-field planner)."""
+    qualifier applies to its one token.  NOTE: every ``word:word`` token is
+    treated as a field clause — a field name that is not a doc_map string
+    column fails loudly downstream (engine.search_qualified raises), the
+    strict-mode contract; callers passing free text with colons (URLs)
+    should use plain ``search``, whose tokenizer discards punctuation.
+    Duplicate clauses collapse (set semantics, same as the single-field
+    planner)."""
     out: set[tuple[str | None, str]] = set()
     for raw in query.split():
         if ":" in raw:

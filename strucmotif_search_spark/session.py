@@ -107,11 +107,15 @@ def get_spark(
     # collapse on a large heap (measured: a 24 GB pre-touch that takes
     # seconds 1-threaded can burn 8+ minutes at 20-way).  8 GC threads keeps
     # pre-touch serial enough to stay fast while GC stays parallel enough.
+    extra_conf = dict(extra_conf or {})
+    # a caller's spark.driver.memory must also drive -Xms: the pre-touch
+    # flag pins -Xms pages, and an -Xms computed from the DEFAULT memory
+    # against a smaller user -Xmx refuses to start the JVM outright
+    mem = extra_conf.pop("spark.driver.memory", mem)
     java_opts = (
         f"-Xms{mem} -XX:+UseParallelGC -XX:+UseTransparentHugePages "
         f"-XX:+AlwaysPreTouch -XX:ParallelGCThreads={min(cores, 8)}"
     )
-    extra_conf = dict(extra_conf or {})
     user_opts = extra_conf.pop("spark.driver.extraJavaOptions", "")
     if user_opts:
         java_opts = f"{java_opts} {user_opts}"
