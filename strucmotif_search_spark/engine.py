@@ -874,10 +874,13 @@ class SearchEngine:
         decoded = decode_postings(
             self.postings.where(F.col("shard") == row["shard"])
         )
+        # broadcast the SINGLE-DOC decoded side (a few hundred rows), never
+        # the terms table — the vocabulary is corpus-sized (millions of rows
+        # at 10^12 docs) and would not fit a broadcast (ADVICE round-3)
         return (
-            decoded.where(F.col("doc_id") == row["doc_id"])
+            F.broadcast(decoded.where(F.col("doc_id") == row["doc_id"]))
             .join(
-                F.broadcast(self.terms.select("term_id", "term", "df", "cf")),
+                self.terms.select("term_id", "term", "df", "cf"),
                 on="term_id",
             )
             .select("term", "tf", "df", "cf")

@@ -143,13 +143,18 @@ def _session_fn(gap_seconds: int):
 
         if state.hasTimedOut:
             sessions = load()
+            # STRICT compare: an event exactly gap after last still merges
+            # (the batch fold treats t - last == gap as same-session), and
+            # Spark admits rows with event_time == watermark — so a session
+            # is final only when last + gap < watermark, else one
+            # batch-semantics session could split in two at the boundary
             done = [
                 iv for iv in sessions
-                if iv[1] + gap_ns <= wm_ms * 1_000_000
+                if iv[1] + gap_ns < wm_ms * 1_000_000
             ]
             keep = [
                 iv for iv in sessions
-                if iv[1] + gap_ns > wm_ms * 1_000_000
+                if iv[1] + gap_ns >= wm_ms * 1_000_000
             ]
             state.remove()
             save(keep, wm_ms)
@@ -183,12 +188,15 @@ def _session_fn(gap_seconds: int):
         intervals.sort(key=lambda iv: (iv[0], iv[1]))
         merged = _gap_merge(intervals, gap_ns)
         # a session is FINAL only when the watermark has passed last + gap;
-        # anything younger could still be extended by an admissible event
+        # anything younger could still be extended by an admissible event.
+        # STRICT compare (same edge as the timeout path above): an event at
+        # exactly last + gap merges, and event_time == watermark is still
+        # admissible, so last + gap == watermark must stay open
         done = [
-            iv for iv in merged if iv[1] + gap_ns <= wm_ms * 1_000_000
+            iv for iv in merged if iv[1] + gap_ns < wm_ms * 1_000_000
         ]
         keep = [
-            iv for iv in merged if iv[1] + gap_ns > wm_ms * 1_000_000
+            iv for iv in merged if iv[1] + gap_ns >= wm_ms * 1_000_000
         ]
         save(keep, wm_ms)
         if done:

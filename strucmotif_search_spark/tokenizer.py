@@ -149,37 +149,36 @@ def doclen_expr(content: Column, analyzer: str = "standard") -> Column:
 
 # 32-bit Arrow string offsets cap an array at 2^31 bytes.  Spark's
 # maxRecordsPerBatch bounds ROWS, not bytes, so a batch of large documents
-# (10k rows x 1 MB) can overflow pa.string().  256M chars per slice keeps
-# the worst case (4 bytes/char UTF-8) under the limit while leaving the
-# common path (one slice) untouched.
-_ARROW_SLICE_CHARS = 1 << 28
+# (10k rows x 1 MB) can overflow pa.string().  128M chars per slice keeps
+# the worst case (4 bytes/char UTF-8 = 2^29 bytes) at 4x headroom under the
+# limit while leaving the common path (one slice) untouched.  (ADVICE
+# round-3: the previous 256M threshold plus the cut-landing-past-the-
+# crossing-row rule could reach 2^31 exactly; the greedy cut below also
+# guarantees a slice never EXCEEDS the budget unless it is a single row.)
+_ARROW_SLICE_CHARS = 1 << 27
 
 
 def _content_slices(pdf: "pd.DataFrame"):
     """Split a pandas batch into row slices whose total content chars stay
     under the 32-bit Arrow offset budget; yields the input unchanged when
-    it already fits (the overwhelmingly common case)."""
-    import numpy as np
-
+    it already fits (the overwhelmingly common case).  Greedy cut BEFORE
+    the row that would cross the budget, so every multi-row slice totals
+    <= _ARROW_SLICE_CHARS; only a single row larger than the whole budget
+    (a >512 MB document) can exceed it, and then only by its own size."""
     lens = pdf["content"].map(len).to_numpy(dtype="int64")
     if int(lens.sum()) <= _ARROW_SLICE_CHARS:
         yield pdf
         return
-    bounds = np.searchsorted(
-        np.cumsum(lens),
-        np.arange(_ARROW_SLICE_CHARS, int(lens.sum()), _ARROW_SLICE_CHARS),
-        side="left",
-    )
     prev = 0
-    for b in list(bounds) + [len(pdf)]:
-        cut = max(int(b), prev + 1)  # a single huge doc still gets a slice
-        if cut > len(pdf):
-            cut = len(pdf)
-        if cut > prev:
-            yield pdf.iloc[prev:cut]
-        prev = cut
-        if prev >= len(pdf):
-            break
+    total = 0
+    for i, ln in enumerate(lens.tolist()):
+        if total + ln > _ARROW_SLICE_CHARS and i > prev:
+            yield pdf.iloc[prev:i]
+            prev = i
+            total = 0
+        total += ln
+    if prev < len(pdf):
+        yield pdf.iloc[prev:]
 
 
 def _tf_batches(

@@ -238,3 +238,34 @@ def test_classify_applies_analyzer(spark, engine):
     assert [r["doc_id"] for r in out] == [0]
     # subtoken count: 'getFoo' -> get+foo, both required in AND mode
     assert out[0]["n_matched"] == 2
+
+
+def test_content_slices_budget_invariant():
+    """ADVICE round-3: every multi-row slice must total <= the Arrow char
+    budget (the old searchsorted cut could land threshold + one row past
+    it); single rows bigger than the budget still pass through whole."""
+    import pandas as pd
+
+    from strucmotif_search_spark import tokenizer as tk
+
+    orig = tk._ARROW_SLICE_CHARS
+    tk._ARROW_SLICE_CHARS = 100
+    try:
+        pdf = pd.DataFrame({
+            "content": ["a" * 60, "b" * 60, "c" * 250, "d" * 10, "e" * 95],
+            "doc_id": range(5),
+        })
+        slices = list(tk._content_slices(pdf))
+        # reassembles exactly, in order
+        assert pd.concat(slices)["content"].tolist() == pdf["content"].tolist()
+        for s in slices:
+            total = int(s["content"].map(len).sum())
+            assert total <= 100 or len(s) == 1  # only a lone row may exceed
+        # the oversized row is isolated in its own slice
+        assert any(len(s) == 1 and s["content"].iloc[0].startswith("c")
+                   for s in slices)
+        # small batch passes through untouched as a single slice
+        small = pd.DataFrame({"content": ["xy", "z"], "doc_id": [0, 1]})
+        assert len(list(tk._content_slices(small))) == 1
+    finally:
+        tk._ARROW_SLICE_CHARS = orig

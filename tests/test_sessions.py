@@ -170,3 +170,61 @@ def test_sessionize_stream_out_of_order_merges_backward(spark, tmp_path):
         (1, int(ts(5).timestamp()), 1, 2.0),
         (1, int(ts(20).timestamp()), 2, 5.0),
     }
+
+
+def test_sessionize_stream_watermark_exactly_on_gap_boundary(spark, tmp_path):
+    """ADVICE round-3: when the watermark lands EXACTLY on last + gap, the
+    session must stay open — an event at event_time == watermark is still
+    admissible and an event exactly gap after last merges (batch semantics),
+    so finalizing at <= would split one session in two."""
+    src = tmp_path / "edge_stream"
+    src.mkdir()
+    ckpt = str(tmp_path / "edge_ckpt")
+    gap_s = 600  # 10 min
+
+    def ts(minutes):
+        return BASE + dt.timedelta(minutes=minutes)
+
+    # batch 1: user-1 event at t=0 (open session, last=0).
+    # batch 2: sentinel at t=70min with 1h watermark delay -> watermark
+    #   advances to exactly t=10min == last + gap.  Old <= rule emitted {0}
+    #   here; the session must stay open.
+    # batch 3: user-1 event at exactly t=10min (event_time == watermark,
+    #   admissible) — must MERGE into the open session.
+    # batches 4/5: far sentinels fire the close timer.
+    parts = [
+        [(ts(0), 1, 1.0)],
+        [(ts(70), 9001, 0.0)],
+        [(ts(10), 1, 2.0)],
+        [(ts(24 * 60), 9002, 0.0)],
+        [(ts(48 * 60), 9003, 0.0)],
+    ]
+    now = time.time()
+    for i, rows in enumerate(parts):
+        d = str(src / f"part{i + 1}")
+        _df(spark, rows).coalesce(1).write.parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*")
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=gap_s, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("edge_sessions")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start_epoch"], r["n_events"], r["sum_value"])
+        for r in spark.table("edge_sessions")
+        .where(F.col("user_id") < 9000)
+        .collect()
+    }
+    assert got == {(1, int(ts(0).timestamp()), 2, 3.0)}
