@@ -382,6 +382,145 @@ def test_compact_collapses_refs_and_restores_bucketing(
     }
 
 
+def test_compact_after_remove_restores_bucketing(
+    spark, corpus, tmp_path_factory
+):
+    """REMOVE-path twin of the ADD compact regression above (round-3
+    verdict item 8): REMOVE also leaves a refs generation, and compact()
+    after it must fold to one bucketed generation with identical decoded
+    content, query parity, and an exchange-free plan — cheap insurance on
+    the only subsystem that has regressed before (r2 S8/E4)."""
+    import json as _json
+    from pathlib import Path
+
+    from strucmotif_search_spark.streaming.incremental import compact
+
+    full, base, extra = corpus
+    store = IndexStore(tmp_path_factory.mktemp("cmp_rm"))
+    build_index(
+        spark, full, store, docs_per_shard=64, shards_per_chunk=1 << 20,
+        checkpoint_partials=False,
+    )
+    remove_documents(spark, store, extra.select("repo", "path", "commit"))
+    gen_before = store.current_gen()
+    assert (Path(store.root) / gen_before / "_refs.json").exists()
+    before = _decoded_index(spark, store)
+    q_before = [
+        (r["doc_id"], r["score"])
+        for r in SearchEngine(spark, store)
+        .search("import def", k=10, with_meta=False).collect()
+    ]
+
+    gen = compact(spark, store)
+    assert store.current_gen() == gen
+    assert not (Path(store.root) / gen / "_refs.json").exists()
+    bmeta = _json.loads((Path(store.root) / gen / "_buckets.json").read_text())
+    assert "postings" in bmeta and "norms" in bmeta
+
+    after = _decoded_index(spark, store)
+    assert before.equals(after)
+    eng = SearchEngine(spark, store)
+    q_after = [
+        (r["doc_id"], r["score"])
+        for r in eng.search("import def", k=10, with_meta=False).collect()
+    ]
+    assert q_before == q_after
+    plan = (
+        eng.search("import def", k=10, with_meta=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert eng.doc_map.count() == N0
+    assert verify_consistency(spark, store) == {
+        "orphan_doc_ids": 0, "inconsistent_terms": 0,
+    }
+
+
+def test_changelog_spans_compose_over_random_histories(
+    spark, tmp_path_factory
+):
+    """Property test (round-3 verdict item 8): for ANY history of
+    ADD/REMOVE/compact commits and ANY generation span (i, j), the
+    changelog equals the pure set difference of the two memberships —
+    adds = members(j) - members(i), removes = members(i) - members(j) —
+    regardless of how many intermediate commits re-added, re-removed, or
+    rewrote files in between.  Fixed-sequence coverage exists above; this
+    drives a seeded random walk."""
+    from strucmotif_search_spark.streaming.incremental import (
+        compact,
+        generation_changes,
+    )
+
+    rng = np.random.default_rng(31)
+    universe = generate_corpus(spark, 90, seed=31, partitions=4).cache()
+    keys = [
+        (r["repo"], r["path"], r["commit"])
+        for r in universe.select("repo", "path", "commit")
+        .orderBy("repo", "path", "commit").collect()
+    ]
+    key_df = {
+        k: universe.where(
+            (F.col("repo") == k[0]) & (F.col("path") == k[1])
+            & (F.col("commit") == k[2])
+        )
+        for k in keys
+    }
+
+    def subset_df(sub):
+        dfs = [key_df[k] for k in sub]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    store = IndexStore(tmp_path_factory.mktemp("cdc_prop"))
+    members = set(keys[:60])
+    build_index(
+        spark, subset_df(sorted(members)), store, docs_per_shard=16,
+        shards_per_chunk=1 << 20, checkpoint_partials=False,
+    )
+    history = [(store.current_gen(), frozenset(members))]
+
+    for _ in range(6):
+        op = rng.choice(["add", "remove", "compact"])
+        absent = sorted(set(keys) - members)
+        present = sorted(members)
+        if op == "add" and absent:
+            pick = [absent[i] for i in rng.choice(
+                len(absent), size=min(len(absent), 10), replace=False
+            )]
+            add_documents(spark, store, subset_df(pick))
+            members |= set(pick)
+        elif op == "remove" and len(present) > 12:
+            pick = [present[i] for i in rng.choice(
+                len(present), size=8, replace=False
+            )]
+            remove_documents(
+                spark, store, subset_df(pick).select("repo", "path", "commit")
+            )
+            members -= set(pick)
+        else:
+            compact(spark, store)
+        history.append((store.current_gen(), frozenset(members)))
+
+    # every span (i, j), i < j — including spans that cross compactions
+    for i in range(len(history)):
+        for j in range(i + 1, len(history)):
+            gi, mi = history[i]
+            gj, mj = history[j]
+            ch = generation_changes(spark, store, gi, gj).collect()
+            got_add = {
+                (r["repo"], r["path"], r["commit"])
+                for r in ch if r["op"] == "add"
+            }
+            got_rm = {
+                (r["repo"], r["path"], r["commit"])
+                for r in ch if r["op"] == "remove"
+            }
+            assert got_add == set(mj - mi), (i, j)
+            assert got_rm == set(mi - mj), (i, j)
+
+
 # ---------------------------------------------------------------------------
 # generation expiry (Iceberg expire_snapshots analogue)
 # ---------------------------------------------------------------------------
