@@ -205,9 +205,107 @@ def _to_condition(node: Node, flag_of: dict[str, Column]) -> Column:
 
 
 # ---- execution ----------------------------------------------------------
+@dataclass(frozen=True)
+class ExprSpec:
+    """Compiled boolean expression handed to the DAAT shard kernel
+    (query/daat.py mode='expr'): a vectorized mask evaluator over per-group
+    presence arrays, the set of scoring (positive) group keys, and whether
+    the expression accepts the all-absent document (widening)."""
+
+    evaluate: object            # (presence: dict[int, ndarray], n) -> ndarray
+    score_keys: frozenset
+    widen: bool
+
+
+def compile_mask_eval(ast: Node, key_of: dict[str, int]):
+    """Compile the AST to a whole-shard vectorized evaluator: Term reads its
+    group's presence mask (absent-from-vocabulary terms and groups with no
+    postings in the shard read all-false), NOT/AND/OR are numpy boolean
+    ops.  Runs inside the cogrouped pandas kernel — cloudpickle ships the
+    closure with the (tiny, frozen) AST."""
+    import numpy as _np
+
+    def ev(node: Node, presence: dict, n: int):
+        if isinstance(node, Term):
+            key = key_of.get(node.term)
+            arr = presence.get(key) if key is not None else None
+            return (
+                arr if arr is not None else _np.zeros(n, dtype=bool)
+            )
+        if isinstance(node, Not):
+            return ~ev(node.child, presence, n)
+        parts = [ev(c, presence, n) for c in node.children]
+        out = parts[0].copy()
+        for p in parts[1:]:
+            if isinstance(node, And):
+                out &= p
+            else:
+                out |= p
+        return out
+
+    return lambda presence, n: ev(ast, presence, n)
+
+
 def bool_topk(engine, query: str, k: int = 10) -> DataFrame:
+    """Top-k (doc_id, score) for a nested boolean expression — the DAAT
+    production path: ONE pushed-down posting scan over all expression terms
+    (negative ones included), evaluated inside the zero-exchange shard
+    cogroup kernel (presence masks + positive-sum scoring + compiled
+    boolean, query/daat.py mode='expr'), per-shard top-k heaps, global
+    TakeOrderedAndProject merge.  No per-doc shuffle, no doc-dictionary
+    join: even the widening case (`NOT a`, `a OR NOT b` — the match set is
+    provably corpus-sized) stays in the kernel, scoring every norms shard
+    through the full-outer cogroup instead of joining the doc universe.
+    Semantics identical to :func:`bool_topk_naive` (randomized cross-check
+    in tests/test_boolquery.py)."""
+    from .daat import bm25_topk_daat
+
+    ast = parse_bool(query, engine.analyzer)
+    all_terms = sorted(expr_terms(ast))
+    vocab = engine._vocab_lookup(all_terms)
+    widen = accepts_all_absent(ast)
+    pos_ids = frozenset(
+        vocab[t][0] for t in positive_terms(ast) if t in vocab
+    )
+    if not widen and not pos_ids:
+        # monotonicity: a non-widening expression needs >= 1 positive term
+        # present, and none exists in the vocabulary
+        return engine.spark.createDataFrame([], "doc_id long, score double")
+    # singleton groups for every PRESENT expression term (negative ones
+    # included — their presence flags gate matching); gkey == term_id
+    plan = engine.plan(" ".join(sorted(vocab)))
+    spec = ExprSpec(
+        evaluate=compile_mask_eval(
+            ast, {t: tid for t, (tid, _df) in vocab.items()}
+        ),
+        score_keys=pos_ids,
+        widen=widen,
+    )
+    # volume-aware shard-prune default (engine.search convention), over the
+    # positive groups only — they alone decide candidacy and decode cost
+    n_shards = engine.meta.get("n_shards") or 0
+    volume = sum(g.df for g in plan.groups if g.key in pos_ids)
+    return bm25_topk_daat(
+        engine.spark,
+        engine.postings,
+        engine.norms,
+        plan,
+        docs_per_shard=engine.meta["docs_per_shard"],
+        k=k,
+        mode="expr",
+        prune_shards=n_shards > 64 and volume > 2_000_000,
+        expr=spec,
+    )
+
+
+def bool_topk_naive(engine, query: str, k: int = 10) -> DataFrame:
     """Top-k (doc_id, score) for a nested boolean expression (see module
-    docstring for semantics and plan shape).  ``engine``: SearchEngine."""
+    docstring for semantics and plan shape).  ``engine``: SearchEngine.
+
+    The pure-Catalyst formulation (per-(doc, term) contributions, one
+    groupBy(doc_id) with collect_set presence flags, compiled WHERE) — two
+    exchanges plus a doclen join, kept as the independently-planned
+    cross-check twin of the production DAAT path above."""
     ast = parse_bool(query, engine.analyzer)
     all_terms = sorted(expr_terms(ast))
     vocab = engine._vocab_lookup(all_terms)  # {term: (term_id, df)}

@@ -56,13 +56,22 @@ def _make_scorer(
     mode: str,
     exclude_ids: tuple[int, ...] = (),
     after: tuple[float, int] | None = None,
+    expr=None,
 ):
     """``after``: cursor pagination — emit only docs STRICTLY after the
     (score, doc_id) cursor in the engine's total order (score desc, doc_id
     asc).  Scores are deterministic float64, so the equality arm of the
     cursor comparison is exact across pages.  Applied before the per-shard
     top-k heap, so a cursor page costs the same as page one (constant in
-    page depth — the scalable alternative to ``offset``)."""
+    page depth — the scalable alternative to ``offset``).
+
+    ``expr`` (mode='expr' only): an ExprSpec (query/boolquery.py) — nested
+    boolean expressions evaluated INSIDE the shard kernel: per-group
+    presence masks feed the compiled AST evaluator, only positive
+    (even-parity) groups contribute to the score, and a widening
+    expression (one that accepts the all-absent document) scores every
+    norms shard — including shards with no query-term postings at all,
+    which arrive here as an empty left cogroup side."""
     # ascending group-key order fixes float64 summation; rarest-first order
     # (plan.groups is already df-ascending) drives intersection
     by_key = sorted(plan.groups, key=lambda g: g.key)
@@ -96,9 +105,13 @@ def _make_scorer(
         return dense
 
     def score_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0 or len(right) == 0:
+        if len(right) == 0:
             return _empty_pdf()
-        shard = int(left["shard"].iloc[0])
+        if len(left) == 0 and not (expr is not None and expr.widen):
+            # no query-term postings in this shard: only a widening
+            # expression can still match here (all-absent docs, score 0)
+            return _empty_pdf()
+        shard = int(right["shard"].iloc[0])
         base = shard * docs_per_shard
         norm_ids, norm_lens = unpack_block(
             bytes(right["doc_gaps"].iloc[0]), bytes(right["doclens"].iloc[0])
@@ -241,6 +254,7 @@ def _make_scorer(
         # --- scoring: dense accumulation, ascending group key ---
         score = np.zeros(docs_per_shard, dtype=np.float64)
         matched = np.zeros(docs_per_shard, dtype=np.int32)
+        presence: dict[int, np.ndarray] = {}
         for grp in by_key:
             dense = decoded.get(grp.key)
             if dense is None:
@@ -250,6 +264,10 @@ def _make_scorer(
             if dense.size == 0:  # _NO_POSTINGS under candidate restriction
                 continue
             idx = np.flatnonzero(dense)
+            if expr is not None:
+                presence[grp.key] = dense != 0.0
+                if grp.key not in expr.score_keys:
+                    continue  # purely negated term: gates matching only
             tf = dense[idx]
             dl = dense_len[idx]
             contrib = grp.idf * (tf * (k1 + 1.0)) / (
@@ -259,15 +277,21 @@ def _make_scorer(
             if mode != "bool" or grp.required:
                 matched[idx] += 1
 
-        need = (
-            n_groups if mode == "and"
-            else n_required if mode == "bool"
-            else 1
-        )
         # dense_len > 0 doubles as the doc-filter mask: norms rows are built
         # from the (optionally predicate-filtered) doc dictionary, so a doc
         # absent from norms must not be scored (P1-P3 filters apply pre-top-k)
-        hit = np.flatnonzero((matched >= need) & (dense_len > 0))
+        if expr is not None:
+            # nested boolean over the per-group presence masks — whole-shard
+            # vectorized; missing groups read as all-false inside the eval
+            mask = expr.evaluate(presence, docs_per_shard)
+            hit = np.flatnonzero(mask & (dense_len > 0))
+        else:
+            need = (
+                n_groups if mode == "and"
+                else n_required if mode == "bool"
+                else 1
+            )
+            hit = np.flatnonzero((matched >= need) & (dense_len > 0))
         if cmask is not None:
             # docs outside the candidate mask provably cannot reach this
             # shard's top-k (partial + remaining-ub < theta) and may carry
@@ -320,6 +344,7 @@ def bm25_topk_daat(
     probe_shards: int = 8,
     exclude_ids: list[int] | None = None,
     after: tuple[float, int] | None = None,
+    expr=None,
 ) -> DataFrame:
     """Top-k (doc_id, score) via sharded DAAT.  Deterministic.
 
@@ -343,7 +368,23 @@ def bm25_topk_daat(
     shard AND queries additionally skip blocks by doc-range (cursor-style
     skip pointers).
     """
-    if plan.empty_or or (mode in ("and", "bool") and plan.empty_and):
+    if mode == "expr":
+        # nested boolean expression (query/boolquery.py).  A match provably
+        # contains >= 1 POSITIVE (even-parity) term unless the expression
+        # accepts the all-absent document (monotonicity: odd-parity terms
+        # can only turn a false match falser), so:
+        if expr is None:
+            raise ValueError("mode='expr' requires an ExprSpec")
+        if not expr.widen and not (
+            expr.score_keys & {g.key for g in plan.groups}
+        ):
+            return spark.createDataFrame([], _RESULT_SCHEMA)
+        # widening answers are corpus-sized in the match-set sense; every
+        # norms shard must be scored (including posting-less ones, via the
+        # full-outer cogroup), so shard pruning is off by construction
+        if expr.widen:
+            prune_shards = False
+    elif plan.empty_or or (mode in ("and", "bool") and plan.empty_and):
         # NB: an absent-from-vocabulary MUST clause empties the result
         # (checked BEFORE the no-MUST degradation below — n_required == 0
         # with n_absent > 0 means the MUST side existed but matched nothing)
@@ -360,14 +401,16 @@ def bm25_topk_daat(
     # excluded terms' blocks ride the same pushed-down scan + shard cogroup
     # as the scoring terms (their doc ids mask eligibility shard-locally);
     # shard upper bounds stay true upper bounds — exclusion only removes docs
+    scan_ids = sorted(set(all_ids) | set(exclude_ids))
     blocks = postings.where(
-        F.col("term_id").isin(sorted(set(all_ids) | set(exclude_ids)))
+        F.col("term_id").isin(scan_ids) if scan_ids else F.lit(False)
     ).select(
         "shard", "term_id", "first_doc_id", "max_doc_id", "block_max_tf",
         "doc_gaps", "tfs",
     )
     scorer = _make_scorer(
-        plan, docs_per_shard, k, mode, tuple(exclude_ids), after=after
+        plan, docs_per_shard, k, mode, tuple(exclude_ids), after=after,
+        expr=expr,
     )
 
     def score_blocks(b: DataFrame) -> DataFrame:
@@ -382,11 +425,20 @@ def bm25_topk_daat(
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # phase 0: shard upper bounds from block metadata only (payload unread).
-    # member term_id -> (group key, group idf) mapping as literal maps
+    # member term_id -> (group key, group idf) mapping as literal maps.
+    # mode='expr': only POSITIVE groups score, so only they feed the upper
+    # bound — and a shard without any positive-term posting cannot produce
+    # a match (non-widening expressions only reach here), so candidacy is
+    # decided over positive groups alone; negative-term blocks still ride
+    # the scoring scan for the surviving shards.
+    ub_groups = (
+        [g for g in plan.groups if g.key in expr.score_keys]
+        if mode == "expr" else plan.groups
+    )
     key_of = {
-        tid: g.key for g in plan.groups for tid in g.member_ids
+        tid: g.key for g in ub_groups for tid in g.member_ids
     }
-    idf_of_key = {g.key: g.idf for g in plan.groups}
+    idf_of_key = {g.key: g.idf for g in ub_groups}
     key_map = F.create_map(
         *[x for tid, gk in key_of.items() for x in (F.lit(tid), F.lit(gk))]
     )
@@ -394,7 +446,7 @@ def bm25_topk_daat(
         *[x for gk, w in idf_of_key.items() for x in (F.lit(gk), F.lit(w))]
     )
     meta = (
-        postings.where(F.col("term_id").isin(all_ids))
+        postings.where(F.col("term_id").isin(sorted(key_of)))
         .groupBy("shard", "term_id")
         .agg(F.max("block_max_tf").alias("mtf"))
         .withColumn("gkey", key_map[F.col("term_id")])

@@ -179,6 +179,22 @@ def test_random_expressions_match_brute_force(fixture):
             [s for _, s in got], [s for _, s in exp], rtol=0, atol=1e-12,
             err_msg=render(ast),
         )
+        if trial % 5 == 0:
+            # independently-planned twin: the pure-Catalyst formulation
+            # must agree with the same brute-force reference
+            from strucmotif_search_spark.query.boolquery import (
+                bool_topk_naive,
+            )
+
+            got_n = [
+                (r["doc_id"], r["score"])
+                for r in bool_topk_naive(eng, render(ast), k=15).collect()
+            ]
+            assert [d for d, _ in got_n] == [d for d, _ in exp], render(ast)
+            np.testing.assert_allclose(
+                [s for _, s in got_n], [s for _, s in exp],
+                rtol=0, atol=1e-12, err_msg=render(ast),
+            )
     assert n_widened >= 2  # the widened (corpus-sized) path was exercised
 
 
@@ -201,32 +217,27 @@ def test_bool_search_with_meta(fixture):
 
 def test_bool_plan_shapes(fixture):
     eng, oracle, tid = fixture
-    # candidate-bounded path: the expression-term IN filter reaches the
-    # posting scan; no doc dictionary in the plan; a global top-k operator
-    def dm_read_schemas(plan):
-        return [
-            ln.split("ReadSchema: ")[1]
-            for ln in plan.splitlines()
-            if "doc_map" in ln and "ReadSchema" in ln
-        ]
-
+    # DAAT expr path: the expression-term IN filter reaches the posting
+    # scan; the boolean is evaluated inside the shard cogroup kernel — no
+    # doc-dictionary scan, no per-doc shuffle (bucketed cogroup), global
+    # top-k operator
     hits = eng.bool_search("(import AND def) OR (for NOT import)", k=5)
     plan = hits._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "term_id" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
-    # the dictionary is touched only for doclen norms — metadata columns,
-    # never the wide natural-key/meta fields
-    for rs in dm_read_schemas(plan):
-        assert set(rs.split("<")[1].rstrip(">\n").split(",")) <= {
-            "doc_id:bigint", "doclen:bigint"
-        }, rs
-    # widening path: the doc-universe left join appears, still metadata-only
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "doc_map" not in plan  # norms sidecar only; no dictionary read
+    assert "Exchange" not in plan  # bucketed postings + norms: zero shuffle
+    # widening path: same kernel plan — the corpus-sized match set is
+    # served by scoring every norms shard through the full-outer cogroup,
+    # not by a doc-universe join
     hits = eng.bool_search("import OR NOT def", k=5)
     plan = hits._jdf.queryExecution().executedPlan().toString()
-    schemas = dm_read_schemas(plan)
-    assert schemas
-    for rs in schemas:
-        assert set(rs.split("<")[1].rstrip(">\n").split(",")) <= {
-            "doc_id:bigint", "doclen:bigint"
-        }, rs
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "doc_map" not in plan
+    assert "Exchange" not in plan
+    # the posting scan's term filter must NOT narrow to positive terms
+    # only: negative terms' presence gates matching
+    def_id = tid["def"]
+    assert str(def_id) in plan
