@@ -612,7 +612,11 @@ class SearchEngine:
         )
 
     def bool_search(
-        self, query: str, k: int = 10, with_meta: bool = False
+        self,
+        query: str,
+        k: int = 10,
+        with_meta: bool = False,
+        prune_shards: bool | None = None,
     ) -> DataFrame:
         """Nested boolean expression query — ``(a AND b) OR c NOT d`` —
         the Lucene query-string shape (query/boolquery.py for the grammar,
@@ -620,7 +624,7 @@ class SearchEngine:
         expression's positive terms present; ties break doc_id asc."""
         from .query.boolquery import bool_topk
 
-        hits = bool_topk(self, query, k=k)
+        hits = bool_topk(self, query, k=k, prune_shards=prune_shards)
         return self._materialize(hits, k) if with_meta else hits
 
     def search_qualified(

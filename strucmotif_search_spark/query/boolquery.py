@@ -246,7 +246,9 @@ def compile_mask_eval(ast: Node, key_of: dict[str, int]):
     return lambda presence, n: ev(ast, presence, n)
 
 
-def bool_topk(engine, query: str, k: int = 10) -> DataFrame:
+def bool_topk(
+    engine, query: str, k: int = 10, prune_shards: bool | None = None
+) -> DataFrame:
     """Top-k (doc_id, score) for a nested boolean expression — the DAAT
     production path: ONE pushed-down posting scan over all expression terms
     (negative ones included), evaluated inside the zero-exchange shard
@@ -282,9 +284,12 @@ def bool_topk(engine, query: str, k: int = 10) -> DataFrame:
         widen=widen,
     )
     # volume-aware shard-prune default (engine.search convention), over the
-    # positive groups only — they alone decide candidacy and decode cost
-    n_shards = engine.meta.get("n_shards") or 0
-    volume = sum(g.df for g in plan.groups if g.key in pos_ids)
+    # positive groups only — they alone decide candidacy and decode cost;
+    # explicit prune_shards overrides (tests pin both paths)
+    if prune_shards is None:
+        n_shards = engine.meta.get("n_shards") or 0
+        volume = sum(g.df for g in plan.groups if g.key in pos_ids)
+        prune_shards = n_shards > 64 and volume > 2_000_000
     return bm25_topk_daat(
         engine.spark,
         engine.postings,
@@ -293,7 +298,7 @@ def bool_topk(engine, query: str, k: int = 10) -> DataFrame:
         docs_per_shard=engine.meta["docs_per_shard"],
         k=k,
         mode="expr",
-        prune_shards=n_shards > 64 and volume > 2_000_000,
+        prune_shards=prune_shards,
         expr=spec,
     )
 

@@ -209,6 +209,36 @@ def test_absent_only_and_empty_results(fixture):
     assert all(r["score"] == 0.0 for r in rows)
 
 
+def test_bool_prune_path_identical(fixture):
+    """Forced shard pruning (the 2-phase ub/probe/theta plan with upper
+    bounds over POSITIVE groups only) must be bit-identical to the
+    single-pass plan — this path only self-activates past 64 shards /
+     2M candidate postings, so pin it explicitly here."""
+    eng, oracle, tid = fixture
+    for q in [
+        "(import AND def) OR (for NOT import)",
+        "import OR for OR def",
+        "(import NOT def) AND for",
+    ]:
+        unpruned = [
+            (r["doc_id"], r["score"])
+            for r in eng.bool_search(q, k=15, prune_shards=False).collect()
+        ]
+        pruned = [
+            (r["doc_id"], r["score"])
+            for r in eng.bool_search(q, k=15, prune_shards=True).collect()
+        ]
+        assert pruned == unpruned, q
+    # widening expressions force pruning off internally (every norms shard
+    # must be scored); an explicit prune request must not corrupt results
+    widen_q = "import OR NOT def"
+    a = [(r["doc_id"], r["score"])
+         for r in eng.bool_search(widen_q, k=15, prune_shards=True).collect()]
+    b = [(r["doc_id"], r["score"])
+         for r in eng.bool_search(widen_q, k=15, prune_shards=False).collect()]
+    assert a == b
+
+
 def test_bool_search_with_meta(fixture):
     eng, _, _ = fixture
     rows = eng.bool_search("import AND def", k=3, with_meta=True).collect()
