@@ -1513,6 +1513,47 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             queries["at_scale_phrase"] = round(best, 3)
             log(f"[bench] at_scale_phrase: {best*1000:.0f} ms")
+            # round-3 query operators at the same 48x corpus: nested
+            # boolexpr (DAAT expr kernel), NEAR/8 proximity, fuzzy
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                big_engine.bool_search(
+                    "(v_00500 AND v_00700) OR (v_01000 NOT import)", k=10
+                ).collect()
+                best = min(best, time.time() - t0)
+            queries["at_scale_boolexpr"] = round(best, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                big_engine.near_search(
+                    "v_00500 v_00700", window=8, k=10
+                ).collect()
+                best = min(best, time.time() - t0)
+            queries["at_scale_near"] = round(best, 3)
+            try:
+                # the 240k vocabulary is denser than the suite corpus, so
+                # a short prefix like v_00500~ has thousands of distance-2
+                # neighbors; 4096 keeps the guard while letting the row run
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    # second term 'import' is > 2 edits from every
+                    # v_* neighbor, keeping expansion groups disjoint
+                    big_engine.fuzzy_search(
+                        "v_00500~ import", k=10, max_expansions=4096,
+                        with_meta=False,
+                    ).collect()
+                    best = min(best, time.time() - t0)
+                queries["at_scale_fuzzy"] = round(best, 3)
+            except Exception as exc:  # noqa: BLE001 — row-local degrade
+                log(f"[bench] at_scale_fuzzy failed (skipping row): {exc!r}")
+            log(
+                f"[bench] at_scale boolexpr "
+                f"{queries['at_scale_boolexpr']}s  near "
+                f"{queries['at_scale_near']}s  fuzzy "
+                f"{queries.get('at_scale_fuzzy')}s"
+            )
             shutil.rmtree(big_root, ignore_errors=True)
         except Exception as exc:  # noqa: BLE001 — degrade, don't kill bench
             log(f"[bench] at-scale section failed (skipping): {exc!r}")

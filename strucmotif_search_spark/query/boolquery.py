@@ -19,25 +19,37 @@ Semantics (Lucene-equivalent, exactly replayable):
 - summation order is ascending term_id (the engine's total order), ties
   at the k cut break by doc_id ascending.
 
-Plan shape (pure Catalyst after the Arrow block decode):
+Production plan shape (:func:`bool_topk` — the DAAT shard kernel,
+query/daat.py mode='expr'):
 
   postings.where(term_id IN all-expression-terms)   <- ONE pushed-down scan,
                                                        negative terms included
                                                        (their flags gate matching)
-    -> decode -> per-(doc, term) BM25 contribution  <- JVM expressions
-    -> groupBy(doc_id): collect_set(term_id) flags
-       + ordered float64 sum over positive terms
-    -> WHERE <compiled boolean over array_contains> <- whole-stage codegen
+    -> bucketed shard cogroup with packed norms     <- ZERO exchange
+       (numpy kernel per shard: per-group presence
+        masks; BM25 sum over POSITIVE groups in
+        ascending-key float64 order; compiled
+        boolean over the masks; per-shard top-k)
     -> orderBy(score desc, doc_id asc).limit(k)     <- TakeOrderedAndProject
 
-Cost is candidate-bounded (docs containing >= 1 expression term) UNLESS the
-expression accepts the all-absent document (e.g. `NOT a`, `a OR NOT b`) —
-then the match set provably includes every document with none of the terms,
-and the plan widens to a metadata-only left join against the doc dictionary
-(doc_id + doclen columns; content is never read).  That widening is forced
-by the semantics, not the implementation: the answer itself is
+Cost is candidate-bounded (docs containing >= 1 positive term — a
+non-widening match provably contains one, by monotonicity over odd-parity
+terms) UNLESS the expression accepts the all-absent document (e.g.
+`NOT a`, `a OR NOT b`) — then the match set provably includes every
+document with none of the terms, and the kernel scores every norms shard
+through the full-outer cogroup (posting-less shards arrive with an empty
+blocks side; no doc-dictionary join, content never read).  That widening
+is forced by the semantics, not the implementation: the answer itself is
 corpus-sized.  The evaluator detects this statically (evaluate the AST
-under all-false flags) so the common case never pays it.
+under all-false flags) so the common case never pays it.  Shard-level
+block-max pruning stays available for non-widening expressions, with
+phase-0 upper bounds over positive groups only.
+
+:func:`bool_topk_naive` keeps the original pure-Catalyst formulation
+(per-(doc, term) contributions, groupBy(doc_id) presence flags, compiled
+WHERE, doc-universe left join when widening) as an independently-planned
+cross-check twin — two exchanges plus a doclen join, never the production
+path.
 
 Grammar:  expr   := or
           or     := and (OR and)*
