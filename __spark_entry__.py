@@ -967,6 +967,18 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal (pipeline.remove_boilerplate_lines):
+    segments repeated across >= 3 documents are dropped, survivors rejoin
+    in order.  The synthetic corpus has no newlines, so the gate
+    parameterizes the separator (' the ') — same operator, same plan."""
+    from strucmotif_search_spark.operators import pipeline
+
+    return pipeline.remove_boilerplate_lines(
+        _docs(spark, sf_dir), min_docs=3, sep=" the ", min_line_chars=1
+    )
+
+
 def _q_bm25_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT-term query: OR over (table, query) excluding docs containing
     'join' — exclusion applies before top-k, global stats untouched."""
@@ -2168,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_decontaminate": _q_decontaminate,
             "ts_lm_score": _q_lm_score,
             "pipe_pack_sequences": _q_pack_sequences,
+            "pipe_line_dedup": _q_line_dedup,
             "sk_hll_bigrams": _q_hll_bigrams,
             "sk_heavy_hitters": _q_heavy_hitters,
             "sk_cms_tokens": _q_cms_tokens,
@@ -2938,6 +2951,33 @@ FROM documents d LEFT JOIN msc s USING (doc_id)
 """,
             # packing replay: the two-level engine prefix sum equals one
             # plain per-lang window over doc_id order
+            # C4 boilerplate-line removal: same split/df/anti-join/
+            # ordered-reassembly pipeline in SQL (segments by ' the ')
+            "pipe_line_dedup": """
+WITH lns AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' the ')) AS line,
+         generate_subscripts(string_split(text, ' the '), 1) AS pos
+  FROM documents
+),
+ldf AS (
+  SELECT line, count(DISTINCT doc_id) AS line_docs
+  FROM lns WHERE length(line) >= 1 GROUP BY line
+),
+boiler AS (SELECT line FROM ldf WHERE line_docs >= 3),
+kept AS (SELECT * FROM lns WHERE line NOT IN (SELECT line FROM boiler)),
+reb AS (
+  SELECT doc_id, string_agg(line, ' the ' ORDER BY pos) AS text_clean,
+         count(*) AS lines_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM lns GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(r.text_clean, '') AS text_clean,
+       (t.n_lines - coalesce(r.lines_kept, 0))::BIGINT AS lines_removed,
+       coalesce(r.lines_kept, 0)::BIGINT AS lines_kept
+FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+""",
             "pipe_pack_sequences": f"""
 WITH ptok AS (
   SELECT doc_id, lang,

@@ -284,3 +284,82 @@ def pack_sequences(
             ).cast("long").alias("seq_last"),
         )
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_doc_frac: float | None = None,
+    min_docs: int | None = 20,
+    sep: str = "\n",
+    min_line_chars: int = 1,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style boilerplate line removal: drop every line that occurs in
+    too many DISTINCT documents (nav bars, license headers, cookie
+    banners — the highest-leverage cleanup after whole-doc dedup in the
+    C4/RefinedWeb recipes).  A line is boilerplate when it appears in
+    >= ``min_docs`` documents, or >= ``min_doc_frac`` of the corpus when
+    that is given instead; lines shorter than ``min_line_chars`` are never
+    removed (empty/whitespace separators are structure, not boilerplate).
+
+    Returns one row per input document: (id, clean text with surviving
+    lines rejoined by ``sep`` in their original order, lines_removed,
+    lines_kept).  Documents whose every line is boilerplate come back
+    with empty text, not missing rows.
+
+    Scale shape (100 TB): lines explode into narrow (id, pos, line) rows;
+    the document-frequency count is one hash aggregation keyed by the
+    line text (at production scale key it by xxhash64(line) — the join
+    below is equality-only).  The boilerplate set is SMALL by
+    construction — only lines repeated across >= min_docs documents
+    survive the HAVING — so the anti-join broadcasts; the order-restoring
+    reassembly is one groupBy(id) with an array_sort, shuffling only
+    surviving narrow rows, never whole documents.
+    """
+    if (min_doc_frac is None) == (min_docs is None):
+        raise ValueError("give exactly one of min_doc_frac / min_docs")
+    if min_doc_frac is not None:
+        n_docs = docs.count()
+        min_docs = max(int(min_doc_frac * n_docs), 2)
+    import re as _re
+
+    # F.split takes a Java regex: escape so sep is always a literal
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(content_col), _re.escape(sep), -1)
+        ).alias("pos", "line"),
+    )
+    boiler = (
+        lines.where(F.length("line") >= min_line_chars)
+        .groupBy("line")
+        .agg(F.count_distinct(id_col).alias("line_docs"))
+        .where(F.col("line_docs") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler), on="line", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count("*").alias("lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("_n_lines"))
+    return (
+        totals.join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            (
+                F.col("_n_lines") - F.coalesce("lines_kept", F.lit(0))
+            ).cast("long").alias("lines_removed"),
+            F.coalesce("lines_kept", F.lit(0)).cast("long").alias(
+                "lines_kept"
+            ),
+        )
+    )

@@ -1189,3 +1189,56 @@ def test_cms_merge_is_additive(spark):
     assert sorted(map(tuple, whole.collect())) == sorted(
         map(tuple, parts.collect())
     )
+
+
+def test_remove_boilerplate_lines_exact(spark):
+    """C4 boilerplate removal on a newline corpus: repeated header/footer
+    lines vanish, unique lines survive in order, all-boilerplate docs come
+    back empty (not missing), short lines are exempt."""
+    from strucmotif_search_spark.operators.pipeline import (
+        remove_boilerplate_lines,
+    )
+
+    hdr, ftr = "COPYRIGHT 2024 ACME", "unsubscribe here"
+    rows = [
+        (0, f"{hdr}\nalpha beta\n\n{ftr}"),
+        (1, f"{hdr}\ngamma delta\n{ftr}"),
+        (2, f"{hdr}\n{ftr}"),                  # all boilerplate
+        (3, "standalone document text"),
+        (4, f"{hdr}\nepsilon\nzeta\n{ftr}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text_clean"], r["lines_removed"], r["lines_kept"])
+        for r in remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert len(out) == 5
+    # empty line in doc 0 is exempt (min_line_chars) and survives in place
+    assert out[0] == ("alpha beta\n", 2, 2)
+    assert out[1] == ("gamma delta", 2, 1)
+    assert out[2] == ("", 2, 0)                # empty, not missing
+    assert out[3] == ("standalone document text", 0, 1)
+    assert out[4] == ("epsilon\nzeta", 2, 2)
+
+    # min_doc_frac form: 3/5 of the corpus == min_docs=3
+    out_frac = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_boilerplate_lines(
+            docs, min_docs=None, min_doc_frac=0.6
+        ).collect()
+    }
+    assert out_frac == {d: t for d, (t, _r, _k) in out.items()}
+
+    with pytest.raises(ValueError):
+        remove_boilerplate_lines(docs, min_docs=None, min_doc_frac=None)
+
+    # custom separator is treated literally even when regex-special
+    docs2 = spark.createDataFrame(
+        [(0, "a|b|x"), (1, "a|b|y"), (2, "a|b|z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_boilerplate_lines(docs2, min_docs=3, sep="|").collect()
+    }
+    assert got == {0: "x", 1: "y", 2: "z"}
