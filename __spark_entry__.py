@@ -1181,8 +1181,95 @@ def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hybrid_rrf_sql(terms: list[str], k: int, n_cand: int, k0: int) -> str:
+def _q_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + dense RRF with the IVF ANN backend on the dense side
+    (ann="ivf": 8 lowest-id centroids, nprobe=3 — the corpus-scale shape
+    where the dense scan touches ~3/8 of the embeddings).  Same fusion
+    arithmetic as ii_hybrid_rrf; the oracle replays cell assignment, the
+    probe restriction, and RRF exactly."""
+    eng = _engine(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    ids = eng.doc_map.select(
+        F.col("path").cast("long").alias("vec_id"), "doc_id"
+    )
+    emb_internal = emb.join(ids, on="vec_id").select("doc_id", "embedding")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    cent_rows = emb.orderBy(F.asc("vec_id")).limit(8).collect()
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cent_rows
+    ]
+    hits = eng.hybrid_search(
+        "table query", emb_internal, qvec, k=10, n_candidates=50,
+        ann="ivf", ann_opts={"nprobe": 3, "centroids": centroids},
+    )
+    return _orig_doc_id(hits).select(
+        "doc_id", F.round("rrf", 6).alias("rrf")
+    )
+
+
+_DENSE_BRUTE_CTE = """denser AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qv.v) DESC,
+                    td.source ASC, e.vec_id ASC
+         ) AS r
+  FROM embeddings e
+  JOIN documents td ON e.vec_id = td.doc_id
+  CROSS JOIN qv
+  ORDER BY r LIMIT {n_cand}
+),"""
+
+# IVF restriction: same centroid/assignment/probe CTEs as sim_ivf_topk,
+# dense ranking runs over probed cells only
+_DENSE_IVF_CTE = """cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+  ORDER BY vec_id ASC LIMIT {n_cells}
+),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+               DESC, c.cid ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cid FROM cent CROSS JOIN qv
+  ORDER BY list_cosine_similarity(cv, qv.v) DESC, cid ASC LIMIT {nprobe}
+),
+denser AS (
+  SELECT a.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(a.v, qv.v) DESC,
+                    td.source ASC, a.vec_id ASC
+         ) AS r
+  FROM assign a
+  JOIN documents td ON a.vec_id = td.doc_id
+  CROSS JOIN qv
+  WHERE a.cid IN (SELECT cid FROM probes)
+  ORDER BY r LIMIT {n_cand}
+),"""
+
+
+def _hybrid_rrf_sql(
+    terms: list[str], k: int, n_cand: int, k0: int,
+    ivf: tuple[int, int] | None = None,
+) -> str:
     vals = ",".join(f"('{t}')" for t in sorted(set(terms)))
+    if ivf is None:
+        dense_cte = _DENSE_BRUTE_CTE.format(n_cand=n_cand)
+    else:
+        n_cells, nprobe = ivf
+        dense_cte = _DENSE_IVF_CTE.format(
+            n_cells=n_cells, nprobe=nprobe, n_cand=n_cand
+        )
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS term
@@ -1217,17 +1304,7 @@ lexr AS (
   ORDER BY r LIMIT {n_cand}
 ),
 qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
-denser AS (
-  SELECT e.vec_id AS doc_id,
-         row_number() OVER (
-           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qv.v) DESC,
-                    td.source ASC, e.vec_id ASC
-         ) AS r
-  FROM embeddings e
-  JOIN documents td ON e.vec_id = td.doc_id
-  CROSS JOIN qv
-  ORDER BY r LIMIT {n_cand}
-),
+{dense_cte}
 fused AS (
   SELECT coalesce(lexr.doc_id, denser.doc_id) AS doc_id,
          coalesce(1.0 / ({k0} + lexr.r), 0.0)
@@ -2206,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ii_bm25_qualified": _q_bm25_qualified,
             "ii_bm25_after_delete_query": _q_bm25_after_delete_query,
             "ii_hybrid_rrf": _q_hybrid_rrf,
+            "ii_hybrid_rrf_ivf": _q_hybrid_rrf_ivf,
             "ii_bm25_fielded": _q_bm25_fielded,
             "ii_bm25_fielded_and": _q_bm25_fielded_and,
             "ii_explain": _q_explain,
@@ -2357,6 +2435,9 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
     sql["ii_msearch"] = _msearch_sql(_MSEARCH_QUERIES, 10)
     sql["ii_hybrid_rrf"] = _hybrid_rrf_sql(
         ["table", "query"], 10, 50, 60
+    )
+    sql["ii_hybrid_rrf_ivf"] = _hybrid_rrf_sql(
+        ["table", "query"], 10, 50, 60, ivf=(8, 3)
     )
     sql["ii_bm25_after_delete_query"] = _bm25_sql(
         ["table", "query"], 10, "or",

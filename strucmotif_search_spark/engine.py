@@ -582,20 +582,49 @@ class SearchEngine:
         with_meta: bool = True,
         id_col: str = "doc_id",
         vec_col: str = "embedding",
+        ann: str | None = None,
+        ann_opts: dict | None = None,
     ) -> DataFrame:
         """Hybrid lexical+dense retrieval (query/hybrid.py): BM25 top-n and
         cosine top-n candidate lists fused by Reciprocal Rank Fusion.
-        ``embeddings`` must carry this engine's doc_ids in ``id_col``; the
-        dense side is exact brute-force here (swap in the IVF/LSH operators
-        at corpus scale — fusion only sees (doc_id, cosine) rows).  Returns
-        (doc_id, rrf, score, cosine, r_lex, r_dense[, metadata])."""
-        from .operators.similarity import cosine_topk_bruteforce
+        ``embeddings`` must carry this engine's doc_ids in ``id_col``.
+
+        ``ann`` selects the dense candidate generator: None = exact
+        brute-force scan (the baseline); ``"ivf"`` = list-partitioned IVF
+        probe (``ann_opts`` -> similarity.ivf_cosine_topk: n_cells/nprobe/
+        centroids); ``"lsh"`` = hyperplane-bucketed probe (``ann_opts`` ->
+        similarity.lsh_cosine_topk: n_planes/multiprobe/seed).  The scale
+        path is ANN: the dense side then scans ~nprobe/n_cells (IVF) or
+        ~1/2^planes (LSH) of the corpus instead of all of it; fusion only
+        ever sees (doc_id, cosine) rows, so ranking semantics are
+        unchanged — candidate RECALL is what the ANN knob trades.
+        Returns (doc_id, rrf, score, cosine, r_lex, r_dense[, metadata])."""
+        from .operators.similarity import (
+            cosine_topk_bruteforce,
+            ivf_cosine_topk,
+            lsh_cosine_topk,
+        )
         from .query.hybrid import rrf_fuse
 
         lex = self.search(query, k=n_candidates, mode=mode, with_meta=False)
-        dense = cosine_topk_bruteforce(
-            embeddings, qvec, k=n_candidates, id_col=id_col, vec_col=vec_col
-        ).withColumnRenamed(id_col, "doc_id")
+        if ann is None:
+            dense = cosine_topk_bruteforce(
+                embeddings, qvec, k=n_candidates, id_col=id_col,
+                vec_col=vec_col,
+            )
+        elif ann == "ivf":
+            dense = ivf_cosine_topk(
+                embeddings, qvec, k=n_candidates, id_col=id_col,
+                vec_col=vec_col, **(ann_opts or {}),
+            )
+        elif ann == "lsh":
+            dense = lsh_cosine_topk(
+                embeddings, qvec, k=n_candidates, id_col=id_col,
+                vec_col=vec_col, **(ann_opts or {}),
+            )
+        else:
+            raise ValueError(f"unknown ann backend {ann!r}")
+        dense = dense.withColumnRenamed(id_col, "doc_id")
         hits = rrf_fuse(lex, dense, k=k, k0=k0)
         if not with_meta:
             return hits

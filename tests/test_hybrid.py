@@ -146,3 +146,47 @@ def test_candidate_bound(engine, embeddings):
     assert len(got) <= 6
     oracle = _oracle_rrf(engine, "table scan", k=24, n_candidates=3)
     assert [(r["doc_id"], r["rrf"]) for r in got] == oracle
+
+
+def test_ann_backends_degenerate_to_bruteforce(engine, embeddings):
+    """ann='ivf' with nprobe == n_cells (and 'lsh' probing every bucket)
+    must fuse to EXACTLY the brute-force hybrid — the ANN knob trades
+    candidate recall only, never ranking arithmetic."""
+    base = [
+        (r["doc_id"], r["rrf"])
+        for r in engine.hybrid_search(
+            "alpha beta", embeddings, QVEC, k=10, with_meta=False
+        ).collect()
+    ]
+    cent_rows = embeddings.orderBy("doc_id").limit(4).collect()
+    centroids = [
+        (int(r["doc_id"]), [float(x) for x in r["embedding"]])
+        for r in cent_rows
+    ]
+    got_ivf = [
+        (r["doc_id"], r["rrf"])
+        for r in engine.hybrid_search(
+            "alpha beta", embeddings, QVEC, k=10, with_meta=False,
+            ann="ivf", ann_opts={"nprobe": 4, "centroids": centroids},
+        ).collect()
+    ]
+    assert got_ivf == base
+    got_lsh = [
+        (r["doc_id"], r["rrf"])
+        for r in engine.hybrid_search(
+            "alpha beta", embeddings, QVEC, k=10, with_meta=False,
+            ann="lsh", ann_opts={"n_planes": 2, "multiprobe": 2},
+        ).collect()
+    ]
+    assert got_lsh == base
+    with pytest.raises(ValueError):
+        engine.hybrid_search(
+            "alpha beta", embeddings, QVEC, k=10, ann="nope"
+        )
+    # partial probe: a strict subset of dense candidates can only LOWER a
+    # doc's rrf (fewer dense ranks) — sanity, not exactness
+    got_p1 = engine.hybrid_search(
+        "alpha beta", embeddings, QVEC, k=10, with_meta=False,
+        ann="ivf", ann_opts={"nprobe": 1, "centroids": centroids},
+    ).collect()
+    assert len(got_p1) >= 1
