@@ -2439,8 +2439,11 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
     sql["ii_hybrid_rrf_ivf"] = _hybrid_rrf_sql(
         ["table", "query"], 10, 50, 60, ivf=(8, 3)
     )
+    # REMOVE preserves survivor internal ranks (a subset of a sorted list
+    # stays sorted), so plain (source, doc_id) replays the engine's tie
+    # order — docs 281/480 tie bitwise at the k boundary at sf0.001
     sql["ii_bm25_after_delete_query"] = _bm25_sql(
-        ["table", "query"], 10, "or",
+        ["table", "query"], 10, "or", tie_by_source=True,
         doc_where=(
             "doc_id NOT IN (SELECT DISTINCT doc_id FROM ("
             "SELECT doc_id, unnest(regexp_extract_all(text, "
