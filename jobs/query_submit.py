@@ -10,6 +10,11 @@ Query kinds map 1:1 onto the engine API:
     PHRASE    exact-sequence phrase (positional index)
     FIELDED   most_fields BM25 over content + metadata fields
     MSEARCH   batch: one query per line of --queries-file, ONE index pass
+    SUGGEST   prefix completions + did-you-mean corrections for --query
+    MLT       more-like-this: docs ranked against --query as a probe text
+    HYBRID    BM25 + embedding-cosine RRF (--embeddings parquet with
+              (doc_id, embedding); --qvec-doc-id picks the query vector;
+              --ann ivf|lsh switches the dense side to the ANN probe)
     CHANGELOG membership diff between two generations (Iceberg CDC shape)
 
 `--as-of GEN` pins any read at a historical generation (time travel).
@@ -38,7 +43,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "kind",
-        choices=["SEARCH", "BOOL", "PHRASE", "FIELDED", "MSEARCH", "CHANGELOG"],
+        choices=["SEARCH", "BOOL", "PHRASE", "FIELDED", "MSEARCH",
+                 "SUGGEST", "MLT", "HYBRID", "CHANGELOG"],
     )
     ap.add_argument("--index-root", required=True)
     ap.add_argument("--query", default=None)
@@ -60,6 +66,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="CHANGELOG: newer generation (default CURRENT)")
     ap.add_argument("--meta", action="store_true",
                     help="join doc metadata onto the hits (late materialized)")
+    ap.add_argument("--embeddings", default=None,
+                    help="HYBRID: parquet with (doc_id, embedding) in this "
+                         "index's internal doc_id space")
+    ap.add_argument("--qvec-doc-id", type=int, default=None,
+                    help="HYBRID: doc_id whose embedding is the query vector")
+    ap.add_argument("--ann", default=None, choices=["ivf", "lsh"],
+                    help="HYBRID: ANN backend for the dense side "
+                         "(default exact brute force)")
     args = ap.parse_args(argv)
 
     # fail fast on bad arguments BEFORE paying SparkSession startup (on a
@@ -73,8 +87,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.kind == "CHANGELOG" and not args.from_gen:
         print(json.dumps({"error": "CHANGELOG requires --from-gen"}))
         return 2
+    if args.kind == "HYBRID" and not (
+        args.embeddings and args.qvec_doc_id is not None
+    ):
+        print(json.dumps(
+            {"error": "HYBRID requires --embeddings and --qvec-doc-id"}
+        ))
+        return 2
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     spark = SparkSession.builder.appName(
         f"smsp-query-{args.kind.lower()}"
@@ -120,6 +142,47 @@ def main(argv: list[str] | None = None) -> int:
             df = eng.fielded_search(
                 args.query, field=args.field, k=args.k, mode=args.mode,
                 with_meta=args.meta,
+            )
+        elif args.kind == "SUGGEST":
+            from strucmotif_search_spark.query.analytics import (
+                suggest_corrections,
+                suggest_terms,
+            )
+
+            comp = suggest_terms(eng, args.query, n=args.k)
+            corr = suggest_corrections(eng, args.query, n=args.k)
+            df = comp.withColumn(
+                "suggestion_kind", F.lit("prefix")
+            ).unionByName(
+                corr.withColumn("suggestion_kind", F.lit("correction")),
+                allowMissingColumns=True,
+            )
+        elif args.kind == "MLT":
+            from strucmotif_search_spark.query.analytics import (
+                more_like_this,
+            )
+
+            df = more_like_this(eng, args.query, k=args.k)
+            if args.meta:
+                df = df.join(
+                    eng.doc_map.select(
+                        "doc_id", "repo", "path", "commit", "lang"
+                    ),
+                    on="doc_id",
+                )
+        elif args.kind == "HYBRID":
+            emb = spark.read.parquet(args.embeddings)
+            qrow = emb.where(
+                F.col("doc_id") == args.qvec_doc_id
+            ).select("embedding").first()
+            if qrow is None:
+                print(json.dumps(
+                    {"error": f"no embedding for doc_id {args.qvec_doc_id}"}
+                ))
+                return 2
+            df = eng.hybrid_search(
+                args.query, emb, [float(x) for x in qrow["embedding"]],
+                k=args.k, mode=args.mode, with_meta=args.meta, ann=args.ann,
             )
         else:  # MSEARCH
             with open(args.queries_file) as f:

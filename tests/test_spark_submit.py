@@ -289,3 +289,56 @@ def test_query_submit_cli(spark, tmp_path):
     out = run("CHANGELOG", "--from-gen", base_gen)
     assert out["n_rows"] == n_new > 0
     assert {r["op"] for r in out["rows"]} == {"add"}
+
+    # SUGGEST: prefix completions + corrections in one response
+    from strucmotif_search_spark.query.analytics import (
+        suggest_corrections,
+        suggest_terms,
+    )
+
+    out = run("SUGGEST", "--query", "im", "--k", "5")
+    kinds = {r["suggestion_kind"] for r in out["rows"]}
+    assert "prefix" in kinds
+    exp_terms = {r["term"] for r in suggest_terms(eng, "im", n=5).collect()}
+    got_prefix = {
+        r["term"] for r in out["rows"] if r["suggestion_kind"] == "prefix"
+    }
+    assert got_prefix == exp_terms
+
+    # MLT: probe text ranked against the corpus == in-process call
+    from strucmotif_search_spark.query.analytics import more_like_this
+
+    probe = "import def for return"
+    out = run("MLT", "--query", probe, "--k", "5")
+    exp = [
+        (r["doc_id"], r["score"])
+        for r in more_like_this(eng, probe, k=5).collect()
+    ]
+    assert [(r["doc_id"], r["score"]) for r in out["rows"]] == exp
+
+    # HYBRID: embeddings parquet + qvec doc; CLI == in-process fusion
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    ids = [r["doc_id"] for r in eng.doc_map.select("doc_id").collect()]
+    emb_rows = [
+        (int(d), [float(x) for x in rng.standard_normal(8)]) for d in ids
+    ]
+    emb = spark.createDataFrame(
+        emb_rows, "doc_id long, embedding array<double>"
+    )
+    emb_path = str(tmp_path / "emb_q")
+    emb.write.mode("overwrite").parquet(emb_path)
+    qvec = dict(emb_rows)[ids[0]]
+    out = run(
+        "HYBRID", "--query", "import def", "--k", "5",
+        "--embeddings", emb_path, "--qvec-doc-id", str(ids[0]),
+    )
+    exp = [
+        (r["doc_id"], round(r["rrf"], 9))
+        for r in eng.hybrid_search(
+            "import def", spark.read.parquet(emb_path), qvec, k=5,
+            with_meta=False,
+        ).collect()
+    ]
+    assert [(r["doc_id"], round(r["rrf"], 9)) for r in out["rows"]] == exp
