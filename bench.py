@@ -1454,8 +1454,9 @@ def main() -> None:
             best = min(best, time.time() - t0)
         queries["q21_hybrid_rrf"] = round(best, 3)
         log(f"[bench] q21_hybrid_rrf: {best*1000:.0f} ms")
-        # same fusion with the IVF ANN dense side (nprobe 3 of 8 cells) —
-        # the corpus-scale hybrid shape; centroid fit outside the timed reps
+        # same fusion with the IVF ANN dense side (nprobe 3 of 8 cells) — the
+        # corpus-scale hybrid shape; an op_ row (it prices the assignment
+        # overhead, not core query latency); centroid fit outside the reps
         cent = [
             (int(r["doc_id"]), [float(x) for x in r["embedding"]])
             for r in emb_internal.orderBy("doc_id").limit(8).collect()
@@ -1469,8 +1470,8 @@ def main() -> None:
                 ann_opts={"nprobe": 3, "centroids": cent},
             ).collect()
             best = min(best, time.time() - t0)
-        queries["q21b_hybrid_ivf"] = round(best, 3)
-        log(f"[bench] q21b_hybrid_ivf: {best*1000:.0f} ms")
+        queries["op_hybrid_ivf"] = round(best, 3)
+        log(f"[bench] op_hybrid_ivf: {best*1000:.0f} ms")
 
     # ---- query latency at scale (north-rule "query p95 latency") ----
     # The sf0.1 suite (5k docs) prices Spark fixed overhead, not index
@@ -1622,10 +1623,10 @@ def _write_bench_md(r: dict, fname: str = "BENCH.md") -> None:
             f"Budget ({r.get('budget_sec')}s) shortened this run; skipped "
             f"sections: {', '.join(r['skipped_sections'])}.",
         ]
-    if "q21b_hybrid_ivf" in r["queries"]:
+    if "op_hybrid_ivf" in r["queries"]:
         lines += [
             "",
-            "Note: q21b_hybrid_ivf can read SLOWER than brute-force "
+            "Note: op_hybrid_ivf can read SLOWER than brute-force "
             "q21_hybrid_rrf at suite scale — the per-row 8-centroid "
             "assignment expression costs more than scanning 5k embeddings "
             "outright.  The IVF shape pays at corpus scale, where the dense "
