@@ -1632,6 +1632,15 @@ def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_counts(eng, "join merge", facet_col="repo", mode="or")
 
 
+def _q_facet_doclen_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram aggregation over match-set doc lengths (interval 16) —
+    the Elasticsearch numeric-aggs shape, from the index alone."""
+    from strucmotif_search_spark.query.analytics import facet_histogram
+
+    eng = _engine(spark, sf_dir)
+    return facet_histogram(eng, "join merge", interval=16, mode="or")
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -2262,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sk_heavy_hitters": _q_heavy_hitters,
             "sk_cms_tokens": _q_cms_tokens,
             "ii_facet_counts": _q_facet_counts,
+            "ii_facet_doclen_hist": _q_facet_doclen_hist,
             "ii_bm25_not": _q_bm25_not,
             "ii_bm25_prefix": _q_bm25_prefix,
             "ii_bm25_bool": _q_bm25_bool,
@@ -3145,6 +3155,19 @@ SELECT source AS repo, count(*)::BIGINT AS n_docs
 FROM ftok
 WHERE list_contains(toks, 'join') OR list_contains(toks, 'merge')
 GROUP BY source
+""",
+            # doclen histogram over the same match set: doclen = frozen-
+            # tokenizer token count (the doc_map/norms convention)
+            "ii_facet_doclen_hist": f"""
+WITH htok AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks
+  FROM documents
+)
+SELECT (floor(len(toks) / 16) * 16)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM htok
+WHERE list_contains(toks, 'join') OR list_contains(toks, 'merge')
+GROUP BY bucket
 """,
             "ts_langid": f"""
 WITH {_TOK_CTE},

@@ -88,6 +88,43 @@ def facet_counts(
     )
 
 
+def facet_histogram(
+    engine,
+    query: str,
+    interval: int = 16,
+    mode: str = "or",
+) -> DataFrame:
+    """Numeric histogram facet over the match set's document LENGTHS —
+    the Elasticsearch histogram-aggregation shape, answered from the index
+    alone: (bucket, n_docs) with bucket = floor(doclen / interval) *
+    interval over every matching document (full match set, not top-k).
+
+    The doclen comes from the doc dictionary (the same per-doc token count
+    the norms sidecar packs), so the corpus text is never touched and no
+    scores are computed.  Scale shape: identical to :func:`facet_counts`
+    — fixed-width (doc_id) match-set rows, one equi-join to the
+    metadata-width dictionary projection, then an aggregate whose
+    cardinality is max_doclen/interval.
+    """
+    if interval <= 0:
+        raise ValueError(f"interval must be positive, got {interval}")
+    matched = match_set(engine, query, mode=mode)
+    if matched is None:
+        return engine.spark.createDataFrame(
+            [], schema="bucket long, n_docs long"
+        )
+    dm = engine.doc_map.select("doc_id", "doclen")
+    return (
+        matched.join(dm, on="doc_id")
+        .groupBy(
+            (F.floor(F.col("doclen") / interval) * interval)
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def match_set(engine, query: str, mode: str = "or") -> DataFrame | None:
     """The FULL match set of a query as a ``(doc_id)`` DataFrame (every
     matching document, unranked, no scores) — the shared core of

@@ -1242,3 +1242,52 @@ def test_remove_boilerplate_lines_exact(spark):
         for r in remove_boilerplate_lines(docs2, min_docs=3, sep="|").collect()
     }
     assert got == {0: "x", 1: "y", 2: "z"}
+
+
+def test_facet_histogram_vs_bruteforce(spark, tmp_path):
+    from strucmotif_search_spark.build import IndexStore, build_index
+    from strucmotif_search_spark.engine import SearchEngine
+    from strucmotif_search_spark.query.analytics import facet_histogram
+
+    rows = [
+        (0, "alpha " * 3),              # doclen 3  -> bucket 0 (interval 4)
+        (1, "alpha beta " + "x " * 6),  # doclen 8  -> bucket 8
+        (2, "beta " * 5),               # doclen 5  -> bucket 4
+        (3, "gamma delta"),             # no match
+        (4, "alpha " + "y " * 12),      # doclen 13 -> bucket 12
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, content string"
+    ).select(
+        F.lit("r").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        "content",
+        F.lit("c").alias("commit"),
+        F.lit("txt").alias("lang"),
+    )
+    store = IndexStore(str(tmp_path / "hidx"))
+    build_index(spark, corpus, store)
+    eng = SearchEngine(spark, store)
+
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in facet_histogram(
+            eng, "alpha beta", interval=4, mode="or"
+        ).collect()
+    }
+    # brute: docs 0 (len 3), 1 (len 8), 2 (len 5), 4 (len 13) match
+    assert got == {0: 1, 4: 1, 8: 1, 12: 1}
+    # AND narrows to doc 1 only
+    got_and = {
+        r["bucket"]: r["n_docs"]
+        for r in facet_histogram(
+            eng, "alpha beta", interval=4, mode="and"
+        ).collect()
+    }
+    assert got_and == {8: 1}
+    # empty match set -> empty frame with the contract schema
+    empty = facet_histogram(eng, "zz_absent", interval=4)
+    assert empty.count() == 0
+    assert empty.columns == ["bucket", "n_docs"]
+    with pytest.raises(ValueError):
+        facet_histogram(eng, "alpha", interval=0)
