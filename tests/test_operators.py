@@ -208,6 +208,19 @@ def test_kmeans_centroids_deterministic_and_recall(spark):
     assert dups.columns == ["vec_id", "dup_of", "cosine"]
     dups.collect()
 
+    # centroids="kmeans" convenience == explicit fit (same seed)
+    a = similarity.ivf_cosine_topk(
+        df, [float(x) for x in rows[0][1]], k=10, n_cells=5, nprobe=1,
+        centroids="kmeans", seed=7,
+    ).collect()
+    b = similarity.ivf_cosine_topk(
+        df, [float(x) for x in rows[0][1]], k=10, nprobe=1,
+        centroids=cent_a,
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in a] == [
+        (r["vec_id"], r["cosine"]) for r in b
+    ]
+
 
 def test_embedding_near_dup_pairs(spark):
     rng = np.random.default_rng(9)
