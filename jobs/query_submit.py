@@ -11,6 +11,7 @@ Query kinds map 1:1 onto the engine API:
     FIELDED   most_fields BM25 over content + metadata fields
     MSEARCH   batch: one query per line of --queries-file, ONE index pass
     SUGGEST   prefix completions + did-you-mean corrections for --query
+              (a single term/prefix, not a multi-term query)
     MLT       more-like-this: docs ranked against --query as a probe text
     HYBRID    BM25 + embedding-cosine RRF (--embeddings parquet with
               (doc_id, embedding); --qvec-doc-id picks the query vector;
