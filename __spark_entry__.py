@@ -1632,6 +1632,18 @@ def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_counts(eng, "join merge", facet_col="repo", mode="or")
 
 
+def _q_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-hits counts (the _count API) for an OR, an AND, and an
+    absent-term query — one row each, from the index alone."""
+    eng = _engine(spark, sf_dir)
+    rows = [
+        ("or_join_merge", eng.count_matches("join merge", mode="or")),
+        ("and_join_merge", eng.count_matches("join merge", mode="and")),
+        ("absent", eng.count_matches("zz_absent_token", mode="or")),
+    ]
+    return eng.spark.createDataFrame(rows, "case string, n_matches long")
+
+
 def _q_facet_doclen_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram aggregation over match-set doc lengths (interval 16) —
     the Elasticsearch numeric-aggs shape, from the index alone."""
@@ -2272,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sk_cms_tokens": _q_cms_tokens,
             "ii_facet_counts": _q_facet_counts,
             "ii_facet_doclen_hist": _q_facet_doclen_hist,
+            "ii_match_counts": _q_match_counts,
             "ii_bm25_not": _q_bm25_not,
             "ii_bm25_prefix": _q_bm25_prefix,
             "ii_bm25_bool": _q_bm25_bool,
@@ -3168,6 +3181,27 @@ SELECT (floor(len(toks) / 16) * 16)::BIGINT AS bucket,
 FROM htok
 WHERE list_contains(toks, 'join') OR list_contains(toks, 'merge')
 GROUP BY bucket
+""",
+            "ii_match_counts": f"""
+WITH ctok AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_PATTERN}') AS toks
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'or_join_merge' AS case,
+         (SELECT count(*) FROM ctok
+          WHERE list_contains(toks, 'join')
+             OR list_contains(toks, 'merge'))::BIGINT AS n_matches
+  UNION ALL
+  SELECT 'and_join_merge',
+         (SELECT count(*) FROM ctok
+          WHERE list_contains(toks, 'join')
+            AND list_contains(toks, 'merge'))::BIGINT
+  UNION ALL
+  SELECT 'absent',
+         (SELECT count(*) FROM ctok
+          WHERE list_contains(toks, 'zz_absent_token'))::BIGINT
+)
 """,
             "ts_langid": f"""
 WITH {_TOK_CTE},

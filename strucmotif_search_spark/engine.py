@@ -958,6 +958,17 @@ class SearchEngine:
             content_col=content_col,
         )
 
+    def count_matches(self, query: str, mode: str = "or") -> int:
+        """Total-hits count (the Elasticsearch ``_count`` API): the size of
+        the FULL match set — no scoring, no top-k, no corpus read
+        (analytics.match_set: pushed-down posting scan, per-block doc-id
+        decode, OR distinct / AND group-count).  Strictly cheaper than any
+        ranked query over the same terms."""
+        from .query.analytics import match_set
+
+        matched = match_set(self, query, mode=mode)
+        return 0 if matched is None else matched.count()
+
     def delete_by_query(self, query: str, mode: str = "or") -> str:
         """Admin operator (the Elasticsearch delete_by_query shape): remove
         EVERY document matching ``query`` (the full match set, not a top-k)

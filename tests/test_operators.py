@@ -1304,3 +1304,29 @@ def test_facet_histogram_vs_bruteforce(spark, tmp_path):
     assert empty.columns == ["bucket", "n_docs"]
     with pytest.raises(ValueError):
         facet_histogram(eng, "alpha", interval=0)
+
+
+def test_count_matches_vs_bruteforce(spark, tmp_path):
+    from strucmotif_search_spark.build import IndexStore, build_index
+    from strucmotif_search_spark.engine import SearchEngine
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha alpha delta"),
+        (2, "beta beta beta"),
+        (3, "gamma delta"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, content string"
+    ).select(
+        F.lit("r").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        "content", F.lit("c").alias("commit"), F.lit("txt").alias("lang"),
+    )
+    store = IndexStore(str(tmp_path / "cidx"))
+    build_index(spark, corpus, store)
+    eng = SearchEngine(spark, store)
+    assert eng.count_matches("alpha beta", mode="or") == 3
+    assert eng.count_matches("alpha beta", mode="and") == 1
+    assert eng.count_matches("zz_absent") == 0
+    assert eng.count_matches("zz_absent alpha", mode="and") == 0
