@@ -2343,11 +2343,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # whose artifact contains it; never-verified keys sort first, ties keep
 # registry order).  Each driver run then automatically covers the gates the
 # previous rounds missed — r3 ran the 50 core gates, so r4's prefix is the
-# 31 never-run round-3 query-family/sketch/sim/session gates + the 16
-# r2-only gates + the 3 oldest r3-verified anchors, making r03 ∪ r04 cover
-# all 97; r5 rotates again with zero manual edits.  Every key beyond the
-# prefix is still returned — pytest and tools/check_entry.py always run the
-# full registry.
+# never-driver-run gates (the 31 round-3 additions + the round-4 ones)
+# then the 16 r2-only gates, making r02 ∪ r03 ∪ r04 cover the whole
+# registry (with 101 gates and a 50-key window, exactly one r2-verified
+# gate overflows the r4 prefix and is automatically first in r5); later
+# rounds rotate with zero manual edits.  Every key beyond the prefix is
+# still returned — pytest and tools/check_entry.py always run the full
+# registry.
 def _driver_verified_rounds() -> dict[str, int]:
     """gate key -> highest round with a committed driver verdict (artifacts
     only record gates the driver actually ran; err rows still count as
