@@ -62,3 +62,41 @@ def test_pack_unpack_block():
     np.testing.assert_array_equal(out_tfs, tfs)
     # compression sanity: delta+varint beats raw int64
     assert len(gaps) < ids.size * 8
+
+
+# ---- hypothesis property tests (round 4): arbitrary adversarial inputs ----
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 63) - 1),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_varint_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    np.testing.assert_array_equal(varint_decode(varint_encode(arr)), arr)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.sets(
+        st.integers(min_value=0, max_value=(1 << 40) - 1),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_pack_unpack_block_property(id_set):
+    """pack/unpack is lossless for ANY strictly-ascending doc_id set with
+    arbitrary tfs — the posting-block invariant every read path rests on."""
+    ids = np.array(sorted(id_set), dtype=np.int64)
+    rng = np.random.default_rng(ids[0] % (1 << 32))
+    tfs = rng.integers(1, 1 << 20, ids.size).astype(np.int64)
+    gaps, tfb = pack_block(ids, tfs)
+    out_ids, out_tfs = unpack_block(gaps, tfb)
+    np.testing.assert_array_equal(out_ids, ids)
+    np.testing.assert_array_equal(out_tfs, tfs)
