@@ -228,3 +228,39 @@ def test_sessionize_stream_watermark_exactly_on_gap_boundary(spark, tmp_path):
         .collect()
     }
     assert got == {(1, int(ts(0).timestamp()), 2, 3.0)}
+
+
+def test_gap_merge_property_vs_event_level_reference():
+    """_gap_merge over interval STATE must equal gap-sessionization over
+    the flattened EVENT set — the invariant that makes out-of-order
+    batches safe (round-3 regression area).  Intervals here are singleton
+    events (start == last, n=1), the worst case for merge order."""
+    import random
+
+    from strucmotif_search_spark.streaming.stateful import _gap_merge
+
+    rng = random.Random(99)
+    for _ in range(300):
+        gap = rng.randint(1, 20)
+        ts = sorted(rng.sample(range(0, 200), rng.randint(1, 25)))
+        intervals = [(t, t, 1, float(t % 7)) for t in ts]
+        merged = _gap_merge(intervals, gap)
+        # event-level reference: split where the gap is exceeded
+        exp = []
+        cur = [ts[0]]
+        for t in ts[1:]:
+            if t - cur[-1] <= gap:
+                cur.append(t)
+            else:
+                exp.append(cur)
+                cur = [t]
+        exp.append(cur)
+        assert [
+            (st, la, n) for st, la, n, _s in merged
+        ] == [(c[0], c[-1], len(c)) for c in exp], (gap, ts)
+        for (st, la, n, s), c in zip(merged, exp):
+            assert s == sum(float(t % 7) for t in c)
+    # pre-merged multi-event intervals compose the same way
+    ivs = [(0, 5, 3, 1.0), (7, 9, 2, 2.0), (30, 31, 1, 3.0)]
+    assert _gap_merge(ivs, 2) == [(0, 9, 5, 3.0), (30, 31, 1, 3.0)]
+    assert _gap_merge(ivs, 25) == [(0, 31, 6, 6.0)]
