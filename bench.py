@@ -615,6 +615,9 @@ def run_scaling() -> dict:
     # wall budget: keep sampling for a clean >=0.8 pair, but never run the
     # whole bench past the driver's patience
     budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "4200"))
+    # record-accumulation mode: sample until this many clean-window pairs
+    # exist in THIS run (0 = legacy early-stop-at-target behavior)
+    min_clean = int(os.environ.get("SPARK_GRAFT_SCALE_MIN_CLEAN", "0"))
     t_scaling = time.time()
     got_matched = got_solo = False
     try:
@@ -727,7 +730,18 @@ def run_scaling() -> dict:
                 valid_m and eff_m is not None and min(eff_m, 1.0) >= 0.8
             )
             got_solo = got_solo or (valid and eff >= 0.8)
-            if got_matched and (
+            # accumulation mode (round-4 verdict item 1): the record needs
+            # MANY clean pairs, not the first passing one — with
+            # $SPARK_GRAFT_SCALE_MIN_CLEAN=N set, sampling continues until
+            # N clean-window pairs exist this run (reps/budget permitting)
+            # and the eff-target early stop is disabled.
+            if min_clean > 0:
+                n_clean = sum(1 for p in pairs if p["valid"])
+                if n_clean >= min_clean:
+                    log(f"[bench] scaling: {n_clean} clean pairs "
+                        f">= target {min_clean}; stopping")
+                    break
+            elif got_matched and (
                 got_solo or (time.time() - t_scaling) > budget_s / 2
             ):
                 break
@@ -917,6 +931,117 @@ QUERY_SUITE: dict[str, tuple[str, str, int]] = {
 }
 
 
+def _scale_record_stats(history: list[dict]) -> dict:
+    """Record-level clean-pair statistics under the RELATIVE fault-probe
+    floor (round-4 verdict item 1).  The absolute 2,500 MB/s floor once
+    admitted a pair whose hi leg ran at 3,926 MB/s while every other leg in
+    the record sat at 6,400-8,600 — a near-collapsed window that produced
+    the outlier 0.55 quotient.  The record therefore re-gates every pair
+    against the MEDIAN probe across all scored legs in the whole history:
+    a pair is record-clean only if both scored legs' probes are >=
+    $SPARK_GRAFT_PROBE_REL_FLOOR (default 0.6) x that median.  The
+    best-clean-pair headline (min-of-N noise-floor protocol) is kept, and
+    the MEDIAN over record-clean pairs is promoted alongside it."""
+    import statistics
+
+    probes = [
+        p[key]
+        for p in history
+        for key in ("lo_probe_mb_s", "hi_probe_mb_s")
+        if p.get(key)
+    ]
+    med_probe = statistics.median(probes) if probes else None
+    rel = float(os.environ.get("SPARK_GRAFT_PROBE_REL_FLOOR", "0.6"))
+    floor = med_probe * rel if med_probe else 0.0
+
+    def _solo_min_probe(p: dict) -> float:
+        return min(p.get("lo_probe_mb_s") or 0.0,
+                   p.get("hi_probe_mb_s") or 0.0)
+
+    def _matched_min_probe(p: dict) -> float:
+        d = p.get("density") or {}
+        return min(d.get("probe_mb_s") or 0.0,
+                   p.get("hi_probe_mb_s") or 0.0)
+
+    clean = [p for p in history
+             if p.get("valid") and _solo_min_probe(p) >= floor]
+    demoted = [
+        {"recorded_at": p.get("recorded_at"), "eff": p.get("eff"),
+         "min_probe_mb_s": round(_solo_min_probe(p), 1)}
+        for p in history
+        if p.get("valid") and _solo_min_probe(p) < floor
+    ]
+    clean_effs = sorted(round(min(p["eff"], 1.0), 3) for p in clean)
+    clean_m = [
+        p for p in history
+        if p.get("valid_matched") and p.get("eff_matched") is not None
+        and _matched_min_probe(p) >= floor
+    ]
+    m_effs = sorted(round(min(p["eff_matched"], 1.0), 3) for p in clean_m)
+    return {
+        "probe_rel_floor": rel,
+        "probe_median_mb_s": round(med_probe, 1) if med_probe else None,
+        "probe_floor_mb_s": round(floor, 1) if med_probe else None,
+        "pairs_total": len(history),
+        "clean_pairs": len(clean),
+        "clean_effs": clean_effs,
+        "efficiency_best_clean": max(clean_effs) if clean_effs else None,
+        "efficiency_median_clean": (
+            round(statistics.median(clean_effs), 3) if clean_effs else None
+        ),
+        "meets_target_median": bool(
+            clean_effs and statistics.median(clean_effs) >= 0.8
+        ),
+        "clean_matched_pairs": len(clean_m),
+        "clean_matched_effs": m_effs,
+        "efficiency_median_matched_clean": (
+            round(statistics.median(m_effs), 3) if m_effs else None
+        ),
+        "demoted_by_rel_floor": demoted,
+    }
+
+
+def _update_scale_record(scaling: dict, here: str) -> dict:
+    """Merge a live run's pairs into the accumulated pair HISTORY in
+    scale_record.json and recompute the record-level stats.  The record's
+    `scaling` block stays the best-clean-headline run (the old block is
+    kept when the new run didn't beat it — its pairs still enter the
+    history and the medians); `history` holds every pair ever recorded
+    with its window readings, so the stats are fully recomputable."""
+    path = os.path.join(here, "scale_record.json")
+    try:
+        with open(path) as f:
+            old = json.load(f)
+    except (OSError, ValueError):
+        old = {}
+    now = time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime())
+    history = list(old.get("history") or [])
+    if not history and (old.get("scaling") or {}).get("pairs"):
+        # migrate the round-4 single-blob format: seed the history with the
+        # committed run's pairs
+        for p in old["scaling"]["pairs"]:
+            history.append({"recorded_at": old.get("recorded_at"), **p})
+    for p in scaling.get("pairs", []):
+        history.append({"recorded_at": now, **p})
+    stats = _scale_record_stats(history)
+    old_block = old.get("scaling") or {}
+    keep_old = (
+        old_block.get("headline_valid")
+        and (old_block.get("efficiency") or 0.0)
+        >= (scaling.get("efficiency") or 0.0)
+    )
+    return {
+        "recorded_at": now,
+        "scaling": old_block if keep_old else scaling,
+        "headline_run_recorded_at": (
+            old.get("headline_run_recorded_at") or old.get("recorded_at")
+            if keep_old else now
+        ),
+        "history": history,
+        "record_stats": stats,
+    }
+
+
 def _load_scaling_record(here: str) -> dict:
     """The committed clean-window scaling record, produced out-of-band by a
     $SPARK_GRAFT_RUN_SCALING=1 run (scale_record.json preferred; the full
@@ -934,6 +1059,16 @@ def _load_scaling_record(here: str) -> dict:
                 prior["record_file"] = fname
                 if blob.get("recorded_at"):
                     prior["recorded_at"] = blob["recorded_at"]
+                # record-level clean-pair stats (relative probe floor,
+                # median-of-clean-pairs) ride along when present
+                if blob.get("record_stats"):
+                    rs = blob["record_stats"]
+                    prior["record_stats"] = rs
+                    prior["efficiency_median_clean"] = rs.get(
+                        "efficiency_median_clean")
+                    prior["clean_pairs"] = rs.get("clean_pairs")
+                    prior["meets_target_median"] = rs.get(
+                        "meets_target_median")
                 return prior
         except (OSError, ValueError):
             continue
@@ -1018,7 +1153,21 @@ def main() -> None:
                 ),
                 "build_reps_sec": [round(w, 2) for w in build_reps],
             },
-            "scaling": state["scaling"] or _load_scaling_record(here),
+            # measured-vs-carried separation (round-4 ADVICE, medium): a
+            # live N-vs-4N run this invocation lands under `scaling`;
+            # otherwise `scaling` is null and the committed clean-window
+            # record rides under the DISTINCT `scaling_record` key, so no
+            # consumer can mistake recorded numbers for fresh measurements.
+            "scaling": state["scaling"] or None,
+            "scaling_record": (
+                None if state["scaling"] else _load_scaling_record(here)
+            ),
+            "scaling_note": (
+                None if state["scaling"] else
+                "no live N-vs-4N run in this invocation "
+                "(SPARK_GRAFT_RUN_SCALING unset); scaling_record carries "
+                "the committed out-of-band record from scale_record.json"
+            ),
             "suite_window": suite_probes,
         }
 
@@ -1047,11 +1196,12 @@ def main() -> None:
         except OSError as exc:
             log(f"[bench] {detail} write failed: {exc!r}")
         slim = dict(result)
-        if slim.get("scaling"):
-            slim["scaling"] = {
-                k: v for k, v in slim["scaling"].items()
-                if k not in ("pairs", "protocol")
-            }
+        for key in ("scaling", "scaling_record"):
+            if slim.get(key):
+                slim[key] = {
+                    k: v for k, v in slim[key].items()
+                    if k not in ("pairs", "protocol")
+                }
         print(json.dumps(slim), flush=True)
 
     def _on_signal(signum, frame):  # noqa: ARG001
@@ -1592,15 +1742,18 @@ def main() -> None:
     # protocol is exactly what the round-3 verdict prescribed.
     if os.environ.get("SPARK_GRAFT_RUN_SCALING", "") == "1":
         state["scaling"] = run_scaling()
-        if state["scaling"].get("headline_valid"):
-            record = {
-                "recorded_at": time.strftime("%Y-%m-%d %H:%M:%S UTC",
-                                             time.gmtime()),
-                "scaling": state["scaling"],
-            }
+        if state["scaling"].get("pairs"):
+            # every measured pair (clean or not, with its window readings)
+            # enters the history; the record stats re-gate them under the
+            # relative probe floor and carry the clean-pair median
+            record = _update_scale_record(state["scaling"], here)
             with open(os.path.join(here, "scale_record.json"), "w") as f:
                 json.dump(record, f, indent=1)
-            log("[bench] scaling record refreshed -> scale_record.json")
+            rs = record["record_stats"]
+            log(f"[bench] scaling record updated -> scale_record.json "
+                f"({rs['clean_pairs']}/{rs['pairs_total']} clean pairs, "
+                f"median {rs['efficiency_median_clean']}, "
+                f"best {rs['efficiency_best_clean']})")
     # else: _compose() pulls the committed record via _load_scaling_record
 
     _finish(partial=False)
@@ -1612,6 +1765,14 @@ def _write_bench_md(r: dict, fname: str = "BENCH.md") -> None:
         "",
         f"sf={r['sf']}; build of {r['build']['n_docs']} docs: "
         f"{r['build']['build_sec']}s = {r['build']['docs_per_sec']} docs/s.",
+        "",
+        # window context for cross-round row comparisons (round-4 verdict
+        # item 5): the per-section clean-window probe readings taken right
+        # before each section's timings — rows from a low-probe window are
+        # systematically slow and must not be read as engine drift
+        f"Run window context (8-way concurrent fault probe, MB/s, per "
+        f"section — this guest's dominant noise source): "
+        f"{r.get('suite_window', {})!r}.",
         "",
         "| query | sec |",
         "|---|---|",
@@ -1642,8 +1803,8 @@ def _write_bench_md(r: dict, fname: str = "BENCH.md") -> None:
             "then full-outer-joins the two per-doc score sets before top-k "
             "(both sides candidate-bounded; the join is metadata-width).",
         ]
-    if r.get("scaling"):
-        s = r["scaling"]
+    if r.get("scaling") or r.get("scaling_record"):
+        s = r.get("scaling") or r["scaling_record"]
         lo, hi = s["pair"]
         lines += [
             "",
@@ -1749,6 +1910,26 @@ def _write_bench_md(r: dict, fname: str = "BENCH.md") -> None:
             f"- control — this box's pure-CPU multiprocessing ceiling over the"
             f" same core pair: {s['cpu_ceiling_efficiency']}; efficiency"
             f" relative to that hardware ceiling: {s['efficiency_vs_ceiling']}.",
+        ]
+        rs = s.get("record_stats")
+        if rs:
+            lines += [
+                f"- ACCUMULATED RECORD (all runs, scale_record.json "
+                f"history): {rs.get('pairs_total')} pairs total, "
+                f"{rs.get('clean_pairs')} clean under the RELATIVE probe "
+                f"floor (leg probe >= {rs.get('probe_rel_floor')} x "
+                f"record-median {rs.get('probe_median_mb_s')} MB/s = "
+                f"{rs.get('probe_floor_mb_s')} MB/s — tighter than the "
+                f"absolute 2.5 GB/s gate; pairs demoted by it: "
+                f"{rs.get('demoted_by_rel_floor')!r}).  Clean solo effs: "
+                f"{rs.get('clean_effs')} -> median "
+                f"**{rs.get('efficiency_median_clean')}** "
+                f"({'MEETS' if rs.get('meets_target_median') else 'does NOT meet'}"
+                f" the >=0.8 target at the median, not just best-of-N); "
+                f"clean density-matched effs: {rs.get('clean_matched_effs')}"
+                f" -> median {rs.get('efficiency_median_matched_clean')}.",
+            ]
+        lines += [
             "",
             "Methodology note: all executors share ONE machine — one memory",
             "bus, one scratch device, one guest kernel.  Concurrent page-",
@@ -1775,5 +1956,18 @@ if __name__ == "__main__":
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "--density-worker":
         density_worker(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-only":
+        # out-of-band record accumulation (round-4 verdict item 1): run
+        # ONLY the N-vs-4N pairs and fold them into scale_record.json —
+        # no query suite, so quiet windows go entirely to pair evidence
+        _here = os.path.dirname(__file__) or "."
+        _s = run_scaling()
+        if _s.get("pairs"):
+            _rec = _update_scale_record(_s, _here)
+            with open(os.path.join(_here, "scale_record.json"), "w") as f:
+                json.dump(_rec, f, indent=1)
+            print(json.dumps(_rec["record_stats"]), flush=True)
+        else:
+            print(json.dumps({"error": "no pairs"}), flush=True)
     else:
         main()
