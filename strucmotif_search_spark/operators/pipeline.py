@@ -294,6 +294,7 @@ def remove_boilerplate_lines(
     min_line_chars: int = 1,
     content_col: str = "text",
     id_col: str = "doc_id",
+    hash_key: bool = False,
 ) -> DataFrame:
     """C4-style boilerplate line removal: drop every line that occurs in
     too many DISTINCT documents (nav bars, license headers, cookie
@@ -310,12 +311,17 @@ def remove_boilerplate_lines(
 
     Scale shape (100 TB): lines explode into narrow (id, pos, line) rows;
     the document-frequency count is one hash aggregation keyed by the
-    line text (at production scale key it by xxhash64(line) — the join
-    below is equality-only).  The boilerplate set is SMALL by
-    construction — only lines repeated across >= min_docs documents
-    survive the HAVING — so the anti-join broadcasts; the order-restoring
-    reassembly is one groupBy(id) with an array_sort, shuffling only
-    surviving narrow rows, never whole documents.
+    line text — or, with ``hash_key=True`` (the production-scale setting),
+    by ``xxhash64(line)``: the aggregation state and the broadcast
+    anti-join key shrink from arbitrary-length strings to 8 bytes.  A
+    64-bit collision would drop a NON-boilerplate line that hash-collides
+    with a boilerplate one (P ~ n_boiler x n_lines / 2^64 — negligible,
+    and conservative-direction: lines are only ever removed, never
+    duplicated).  The boilerplate set is SMALL by construction — only
+    lines repeated across >= min_docs documents survive the HAVING — so
+    the anti-join broadcasts; the order-restoring reassembly is one
+    groupBy(id) with an array_sort, shuffling only surviving narrow rows,
+    never whole documents.
     """
     if (min_doc_frac is None) == (min_docs is None):
         raise ValueError("give exactly one of min_doc_frac / min_docs")
@@ -331,14 +337,28 @@ def remove_boilerplate_lines(
             F.split(F.col(content_col), _re.escape(sep), -1)
         ).alias("pos", "line"),
     )
-    boiler = (
-        lines.where(F.length("line") >= min_line_chars)
-        .groupBy("line")
-        .agg(F.count_distinct(id_col).alias("line_docs"))
-        .where(F.col("line_docs") >= min_docs)
-        .select("line")
-    )
-    kept = lines.join(F.broadcast(boiler), on="line", how="left_anti")
+    eligible = lines.where(F.length("line") >= min_line_chars)
+    if hash_key:
+        # 8-byte aggregation/join key for production scale (see docstring)
+        boiler = (
+            eligible.groupBy(F.xxhash64("line").alias("line_key"))
+            .agg(F.count_distinct(id_col).alias("line_docs"))
+            .where(F.col("line_docs") >= min_docs)
+            .select("line_key")
+        )
+        kept = (
+            lines.withColumn("line_key", F.xxhash64("line"))
+            .join(F.broadcast(boiler), on="line_key", how="left_anti")
+            .drop("line_key")
+        )
+    else:
+        boiler = (
+            eligible.groupBy("line")
+            .agg(F.count_distinct(id_col).alias("line_docs"))
+            .where(F.col("line_docs") >= min_docs)
+            .select("line")
+        )
+        kept = lines.join(F.broadcast(boiler), on="line", how="left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -70,6 +70,7 @@ from pyspark.sql import functions as F
 
 from ..oracle import tokenize
 from ..tokenizer import analyze_text
+from .planner import plan_analyzed
 
 _TOKENS = re.compile(r"\(|\)|[^()\s]+")
 
@@ -286,8 +287,15 @@ def bool_topk(
         # present, and none exists in the vocabulary
         return engine.spark.createDataFrame([], "doc_id long, score double")
     # singleton groups for every PRESENT expression term (negative ones
-    # included — their presence flags gate matching); gkey == term_id
-    plan = engine.plan(" ".join(sorted(vocab)))
+    # included — their presence flags gate matching); gkey == term_id.
+    # Built directly from the vocab lookup (term_ids already in hand) —
+    # NOT by re-planning a joined query string, which would round-trip the
+    # analyzer's output through the frozen standard tokenizer
+    plan = plan_analyzed(
+        vocab,
+        int(engine._stats_row["n_docs"]),
+        float(engine._stats_row["avgdl"]),
+    )
     spec = ExprSpec(
         evaluate=compile_mask_eval(
             ast, {t: tid for t, (tid, _df) in vocab.items()}
@@ -336,8 +344,13 @@ def bool_topk_naive(engine, query: str, k: int = 10) -> DataFrame:
 
     if vocab:
         # singleton scoring groups for every expression term (negative ones
-        # included: their presence flags gate matching; gkey == term_id)
-        plan = engine.plan(" ".join(sorted(vocab)))
+        # included: their presence flags gate matching; gkey == term_id);
+        # built from the vocab lookup directly — no tokenizer round-trip
+        plan = plan_analyzed(
+            vocab,
+            int(engine._stats_row["n_docs"]),
+            float(engine._stats_row["avgdl"]),
+        )
         from .bm25 import bm25_group_contribs
 
         d = bm25_group_contribs(

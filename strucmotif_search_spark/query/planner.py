@@ -101,6 +101,38 @@ def idf(n_docs: int, df: int) -> float:
     return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
 
+def plan_analyzed(
+    found: dict[str, tuple[int, int]], n_docs: int, avgdl: float
+) -> QueryPlan:
+    """QueryPlan over ALREADY-ANALYZED present terms — no tokenizer pass.
+
+    ``found``: {term: (term_id, df)} straight from the engine's vocabulary
+    lookup.  Used by the boolean path (query/boolquery.py), whose AST terms
+    came out of the engine's CONFIGURED analyzer: round-tripping them
+    through the frozen standard ``tokenize`` (as a query string re-plan
+    would) could silently split or drop terms a non-standard analyzer
+    emits (round-4 ADVICE, low).  Builds singleton required groups,
+    rarest-first — identical to ``plan_query`` whenever the analyzed terms
+    happen to be tokenize() fixed points (pinned by test)."""
+    groups = [
+        TermGroup(key=tid, idf=idf(n_docs, df), df=df, member_ids=(tid,))
+        for _t, (tid, df) in found.items()
+    ]
+    groups.sort(key=lambda g: (g.df, g.key))
+    by_id = {tid: t for t, (tid, _df) in found.items()}
+    flat_terms = [by_id[g.member_ids[0]] for g in groups]
+    return QueryPlan(
+        terms=flat_terms,
+        term_ids=[g.member_ids[0] for g in groups],
+        dfs=[g.df for g in groups],
+        idfs=[g.idf for g in groups],
+        n_absent=0,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        groups=groups,
+    )
+
+
 def plan_query(
     query: str,
     terms_table: DataFrame,

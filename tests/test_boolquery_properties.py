@@ -111,3 +111,55 @@ def test_compiled_mask_eval_matches_reference(ast, doc_rows):
     for d, row in enumerate(doc_rows):
         flags = {t: bool(row[i]) and t in key_of for i, t in enumerate(TERMS)}
         assert bool(got[d]) == evaluate(ast, flags), (d, render(ast))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(TERMS),
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),   # term_id
+            st.integers(min_value=1, max_value=500),      # df
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=500, max_value=1_000_000),      # n_docs
+)
+def test_plan_analyzed_matches_plan_query(vocab, n_docs):
+    """plan_analyzed (the boolean path's no-retokenize plan construction,
+    round-4 ADVICE fix) must equal plan_query on any vocab whose terms are
+    tokenize() fixed points — same groups, same order, same idfs, bit for
+    bit.  Distinct term_ids enforced (the registry mints them uniquely)."""
+    from strucmotif_search_spark.query.planner import (
+        plan_analyzed,
+        plan_query,
+    )
+
+    ids = {tid for tid, _df in vocab.values()}
+    if len(ids) != len(vocab):  # duplicate minted ids can't happen
+        vocab = {
+            t: (i, df)
+            for i, (t, (_tid, df)) in enumerate(sorted(vocab.items()))
+        }
+    avgdl = 37.5
+    direct = plan_analyzed(vocab, n_docs, avgdl)
+    replanned = plan_query(
+        " ".join(sorted(vocab)),
+        terms_table=None,
+        stats_table=None,
+        stats_row={"n_docs": n_docs, "avgdl": avgdl},
+        vocab_lookup=lambda terms: {
+            t: vocab[t] for t in terms if t in vocab
+        },
+    )
+    assert direct.terms == replanned.terms
+    assert direct.term_ids == replanned.term_ids
+    assert direct.dfs == replanned.dfs
+    assert direct.idfs == replanned.idfs
+    assert direct.groups == replanned.groups
+    assert (direct.n_docs, direct.avgdl, direct.n_absent) == (
+        replanned.n_docs,
+        replanned.avgdl,
+        replanned.n_absent,
+    )

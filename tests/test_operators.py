@@ -1330,3 +1330,192 @@ def test_count_matches_vs_bruteforce(spark, tmp_path):
     assert eng.count_matches("alpha beta", mode="and") == 1
     assert eng.count_matches("zz_absent") == 0
     assert eng.count_matches("zz_absent alpha", mode="and") == 0
+
+
+# ---- round 5: vectorized IVF assignment + reseed discipline --------------
+
+
+def test_ivf_assign_udf_bit_equal_expr(spark):
+    """Round-4 verdict item 2: the Arrow-batched numpy assignment path must
+    agree with the Catalyst literal-expression path bit for bit at the
+    oracle seam (n_cells=8), and the full IVF query must return identical
+    rows under either method."""
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((400, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent_rows = df.orderBy("vec_id").limit(8).collect()
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cent_rows
+    ]
+    a = df.select(
+        "vec_id",
+        similarity.ivf_assign_expr(F.col("embedding"), centroids).alias("c"),
+    ).collect()
+    b = df.select(
+        "vec_id",
+        similarity.ivf_assign_udf(F.col("embedding"), centroids).alias("c"),
+    ).collect()
+    assert {r["vec_id"]: r["c"] for r in a} == {
+        r["vec_id"]: r["c"] for r in b
+    }
+    q = [float(x) for x in vecs[0]]
+    got_e = similarity.ivf_cosine_topk(
+        df, q, k=10, nprobe=3, centroids=centroids, assign_method="expr"
+    ).collect()
+    got_u = similarity.ivf_cosine_topk(
+        df, q, k=10, nprobe=3, centroids=centroids, assign_method="udf"
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got_e] == [
+        (r["vec_id"], r["cosine"]) for r in got_u
+    ]
+
+
+def test_ivf_assign_auto_dispatch(spark):
+    """auto selects the expression path under IVF_EXPR_MAX_TERMS and the
+    pandas_udf path above it (plan-shape check: ArrowEvalPython only in the
+    large-cell plan), and both dispatch targets agree on assignments."""
+    rng = np.random.default_rng(37)
+    dim = 32
+    vecs = rng.standard_normal((300, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, f"vec_id long, embedding array<float>"
+    )
+    small = [(i, [float(x) for x in vecs[i]]) for i in range(8)]
+    # 256 centroids x 32 dims = 8192 terms > IVF_EXPR_MAX_TERMS=4096
+    big = [(i, [float(x) for x in vecs[i]]) for i in range(256)]
+    assert sum(len(v) for _, v in small) <= similarity.IVF_EXPR_MAX_TERMS
+    assert sum(len(v) for _, v in big) > similarity.IVF_EXPR_MAX_TERMS
+
+    plan_small = df.select(
+        similarity.ivf_assign(F.col("embedding"), small).alias("c")
+    )._jdf.queryExecution().executedPlan().toString()
+    plan_big = df.select(
+        similarity.ivf_assign(F.col("embedding"), big).alias("c")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan_small
+    assert "ArrowEvalPython" in plan_big
+
+    got_auto = df.select(
+        "vec_id", similarity.ivf_assign(F.col("embedding"), big).alias("c")
+    ).collect()
+    got_expr = df.select(
+        "vec_id",
+        similarity.ivf_assign(F.col("embedding"), big, "expr").alias("c"),
+    ).collect()
+    assert {r["vec_id"]: r["c"] for r in got_auto} == {
+        r["vec_id"]: r["c"] for r in got_expr
+    }
+
+    with pytest.raises(ValueError):
+        similarity.ivf_assign(F.col("embedding"), small, "bogus")
+
+
+def test_lloyd_simultaneous_empty_cells_reseed_distinct():
+    """Round-4 ADVICE (low): two cells going empty in the SAME Lloyd pass
+    must be reseeded to DISTINCT points, chosen against the CURRENT (not
+    stale) centroids.  Init [a, a, a, b] over two separated clusters: ties
+    send every A-point to cell 0, so cells 1 and 2 are empty in one pass."""
+    rng = np.random.default_rng(41)
+    a = np.array([10.0] + [0.0] * 15)
+    b = np.array([-10.0] + [0.0] * 15)
+    pts = np.concatenate([
+        a + rng.standard_normal((6, 16)) * 0.05,
+        b + rng.standard_normal((6, 16)) * 0.05,
+    ])
+    xn = pts / np.linalg.norm(pts, axis=1)[:, None]
+    an = a / np.linalg.norm(a)
+    bn = b / np.linalg.norm(b)
+    cent = np.stack([an, an, an, bn])
+    out = similarity._lloyd(xn.copy(), cent.copy(), iters=1)
+    # every centroid row distinct after the pass (reseeds did not collide)
+    uniq = {tuple(np.round(row, 12)) for row in out}
+    assert len(uniq) == 4
+    # reseeded rows are actual data points (unit-norm members of xn)
+    xset = {tuple(np.round(row, 12)) for row in xn}
+    reseeded = [row for row in out if tuple(np.round(row, 12)) in xset]
+    assert len(reseeded) >= 2
+
+
+def test_remove_boilerplate_lines_hashed(spark):
+    """hash_key=True (production 8-byte xxhash64 agg/join key) must produce
+    byte-identical results to the string-keyed path on a collision-free
+    corpus — including the frac form and a regex-special separator."""
+    from strucmotif_search_spark.operators.pipeline import (
+        remove_boilerplate_lines,
+    )
+
+    hdr, ftr = "COPYRIGHT 2024 ACME", "unsubscribe here"
+    rows = [
+        (0, f"{hdr}\nalpha beta\n\n{ftr}"),
+        (1, f"{hdr}\ngamma delta\n{ftr}"),
+        (2, f"{hdr}\n{ftr}"),
+        (3, "standalone document text"),
+        (4, f"{hdr}\nepsilon\nzeta\n{ftr}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(
+        remove_boilerplate_lines(docs, min_docs=3).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    hashed = sorted(
+        remove_boilerplate_lines(docs, min_docs=3, hash_key=True).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in base] == [tuple(r) for r in hashed]
+
+    docs2 = spark.createDataFrame(
+        [(0, "a|b|x"), (1, "a|b|y"), (2, "a|b|z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_boilerplate_lines(
+            docs2, min_docs=3, sep="|", hash_key=True
+        ).collect()
+    }
+    assert got == {0: "x", 1: "y", 2: "z"}
+
+
+def test_ivf_partitioned_layout_prunes_and_matches(spark, tmp_path):
+    """write_ivf_partitioned + ivf_cosine_topk_partitioned: the probe is a
+    PARTITION filter (pruned scan — fewer partition dirs read than exist)
+    and the answers match the in-memory IVF path with the same centroids."""
+    rng = np.random.default_rng(53)
+    vecs = rng.standard_normal((400, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent_rows = df.orderBy("vec_id").limit(8).collect()
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cent_rows
+    ]
+    path = str(tmp_path / "ivf_corpus")
+    similarity.write_ivf_partitioned(df, path, centroids)
+
+    import os
+
+    cells_on_disk = {
+        d for d in os.listdir(path) if d.startswith("cell=")
+    }
+    assert len(cells_on_disk) == 8  # every cell materialized
+
+    q = [float(x) for x in vecs[0]]
+    got = similarity.ivf_cosine_topk_partitioned(
+        spark, path, q, centroids, k=10, nprobe=3
+    )
+    want = similarity.ivf_cosine_topk(
+        df, q, k=10, nprobe=3, centroids=centroids
+    )
+    assert [(r["vec_id"], round(r["cosine"], 9)) for r in got.collect()] == [
+        (r["vec_id"], round(r["cosine"], 9)) for r in want.collect()
+    ]
+
+    # plan shape: the cell predicate reaches the scan as a partition
+    # filter (pruned to nprobe=3 of 8 partitions), not a post-scan Filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
+    assert m is not None, plan
