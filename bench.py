@@ -1832,6 +1832,17 @@ def _write_bench_md(r: dict, fname: str = "BENCH.md") -> None:
             "them; the row is here to price the assignment overhead "
             "honestly, not to win at 5k docs.",
         ]
+    if "op_ivf_assign256_udf" in r["queries"]:
+        lines += [
+            "",
+            "Note: op_ivf_assign256_{expr,udf} price full-corpus centroid "
+            "assignment at 256 cells both ways.  The literal-expression "
+            "tree costs tens of seconds in PLAN COMPILATION alone at this "
+            "cell count (and grows with n_cells x dim); the Arrow-batched "
+            "numpy path is flat.  ivf_assign auto-dispatches at "
+            "IVF_EXPR_MAX_TERMS=4096 terms, so production cell counts "
+            "never touch the expression path.",
+        ]
     if "q20_fielded" in r["queries"]:
         lines += [
             "",
