@@ -33,6 +33,7 @@ from strucmotif_search_spark.operators import dedup, similarity, textstats
 # --------------------------------------------------------------------------
 
 _ENGINES: dict[str, SearchEngine] = {}
+_IVF_PART_DIRS: dict[tuple, str] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1754,12 +1755,18 @@ def _q_ivf_topk_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in cent_rows
     ]
-    root = tempfile.mkdtemp(prefix="ssx_ivfpart_")
-    similarity.write_ivf_partitioned(
-        emb.where(F.col("vec_id") != 0), root + "/corpus", centroids
-    )
+    # one written layout per (session, sf_dir) — repeated gate invocations
+    # (plan pass + value pass, pytest replays) reuse it instead of leaking
+    # a fresh mkdtemp parquet corpus each time (same policy as _ENGINES)
+    key = (_skey(spark), sf_dir, "ivfpart")
+    if key not in _IVF_PART_DIRS:
+        root = tempfile.mkdtemp(prefix="ssx_ivfpart_")
+        similarity.write_ivf_partitioned(
+            emb.where(F.col("vec_id") != 0), root + "/corpus", centroids
+        )
+        _IVF_PART_DIRS[key] = root + "/corpus"
     return similarity.ivf_cosine_topk_partitioned(
-        spark, root + "/corpus", [float(x) for x in qvec], centroids,
+        spark, _IVF_PART_DIRS[key], [float(x) for x in qvec], centroids,
         k=10, nprobe=3,
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 

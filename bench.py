@@ -616,8 +616,22 @@ def run_scaling() -> dict:
     # whole bench past the driver's patience
     budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "4200"))
     # record-accumulation mode: sample until this many clean-window pairs
-    # exist in THIS run (0 = legacy early-stop-at-target behavior)
+    # exist in THIS run (0 = legacy early-stop-at-target behavior).  A
+    # pair only counts toward the target if it would ALSO clear the
+    # committed record's RELATIVE probe floor — otherwise the run could
+    # stop with pairs the record stats immediately demote (review fix)
     min_clean = int(os.environ.get("SPARK_GRAFT_SCALE_MIN_CLEAN", "0"))
+    rel_floor = 0.0
+    try:
+        with open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scale_record.json"
+        )) as f:
+            rel_floor = float(
+                (json.load(f).get("record_stats") or {})
+                .get("probe_floor_mb_s") or 0.0
+            )
+    except (OSError, ValueError):
+        pass
     t_scaling = time.time()
     got_matched = got_solo = False
     try:
@@ -736,7 +750,13 @@ def run_scaling() -> dict:
             # N clean-window pairs exist this run (reps/budget permitting)
             # and the eff-target early stop is disabled.
             if min_clean > 0:
-                n_clean = sum(1 for p in pairs if p["valid"])
+                n_clean = sum(
+                    1 for p in pairs
+                    if p["valid"] and min(
+                        p[str(lo)].get("probe_mb_s", 0.0),
+                        p[str(hi)].get("probe_mb_s", 0.0),
+                    ) >= rel_floor
+                )
                 if n_clean >= min_clean:
                     log(f"[bench] scaling: {n_clean} clean pairs "
                         f">= target {min_clean}; stopping")
@@ -1025,10 +1045,19 @@ def _update_scale_record(scaling: dict, here: str) -> dict:
         history.append({"recorded_at": now, **p})
     stats = _scale_record_stats(history)
     old_block = old.get("scaling") or {}
-    keep_old = (
-        old_block.get("headline_valid")
-        and (old_block.get("efficiency") or 0.0)
-        >= (scaling.get("efficiency") or 0.0)
+    # the headline block is only ever REPLACED by a run that itself passed
+    # every window gate (headline_valid) AND beats the committed one — a
+    # dirty-window run contributes its pairs to the history but can never
+    # overwrite a valid headline (review fix: the old write path refused
+    # to record invalid runs entirely; the history model must keep that
+    # guarantee while still accumulating the evidence)
+    keep_old = bool(old_block) and (
+        not scaling.get("headline_valid")
+        or (
+            old_block.get("headline_valid")
+            and (old_block.get("efficiency") or 0.0)
+            >= (scaling.get("efficiency") or 0.0)
+        )
     )
     return {
         "recorded_at": now,

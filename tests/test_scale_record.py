@@ -110,6 +110,21 @@ def test_update_scale_record_migrates_and_keeps_best_headline(tmp_path):
     assert rec2["scaling"]["efficiency"] == 0.90
     assert rec2["record_stats"]["pairs_total"] == 3
 
+    # review fix: an INVALID-headline run (dirty window) adds its pairs to
+    # the history but can NEVER replace a valid headline, even with a
+    # higher nominal efficiency
+    with open(os.path.join(here, "scale_record.json"), "w") as f:
+        json.dump(rec2, f)
+    dirty = {
+        "efficiency": 0.99,
+        "headline_valid": False,
+        "pairs": [_pair(0.99, 100.0, 100.0, valid=False)],
+    }
+    rec3 = bench._update_scale_record(dirty, here)
+    assert rec3["scaling"]["efficiency"] == 0.90
+    assert rec3["scaling"]["headline_valid"] is True
+    assert rec3["record_stats"]["pairs_total"] == 4
+
 
 def test_fixed_driver_window_is_a_prefix_and_complete():
     sys.path.insert(0, ROOT)
