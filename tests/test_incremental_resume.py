@@ -811,3 +811,110 @@ def test_delete_by_query_compact_time_travel_triple(
     tt = SearchEngine(spark, store, gen=gen1)
     assert rows(tt) == pre_delete
     assert tt.count_matches("def") == n_def_pre
+
+
+def test_random_mutation_history_equals_rebuild(
+    spark, corpus, tmp_path_factory
+):
+    """Randomized fuzz over the FULL mutation surface: a random sequence of
+    ADD / REMOVE / delete_by_query / compact applied to one store must,
+    after every membership-changing step, answer a probe query identically
+    (natural-key level, full match set — k larger than the corpus so no
+    k-boundary tie sensitivity) to a FROM-SCRATCH build over the expected
+    survivor set; and every recorded snapshot must still answer pinned
+    (time travel) with unchanged rows at the END of the history."""
+    import random
+
+    from strucmotif_search_spark.oracle import tokenize
+    from strucmotif_search_spark.streaming.incremental import compact
+    rng = random.Random(20260821)
+    full, base, extra = corpus
+    rows = {
+        (r["repo"], r["path"], r["commit"]): r
+        for r in full.collect()
+    }
+    base_keys = {
+        (r["repo"], r["path"], r["commit"]) for r in base.collect()
+    }
+    extra_keys = sorted(set(rows) - base_keys)
+
+    store = IndexStore(tmp_path_factory.mktemp("fuzzhist"))
+    build_index(
+        spark, base, store, docs_per_shard=64, shards_per_chunk=1 << 20
+    )
+    member = set(base_keys)
+    pool = list(extra_keys)
+    probe = "import return"
+
+    def df_for(keys):
+        return spark.createDataFrame(
+            [rows[k] for k in sorted(keys)], full.schema
+        )
+
+    def hits(engine):
+        got = engine.search(probe, k=1000, mode="or", with_meta=True)
+        return sorted(
+            (r["repo"], r["path"], r["commit"], round(r["score"], 9))
+            for r in got.collect()
+        )
+
+    snapshots = []  # (gen_id, rows at commit time)
+
+    def checkpoint():
+        eng = SearchEngine(spark, store)
+        got = hits(eng)
+        store_ref = IndexStore(tmp_path_factory.mktemp("fuzzref"))
+        build_index(
+            spark, df_for(member), store_ref,
+            docs_per_shard=64, shards_per_chunk=1 << 20,
+        )
+        want = hits(SearchEngine(spark, store_ref))
+        assert got == want, f"divergence at step {len(snapshots)}"
+        snapshots.append((store.current_gen(), got))
+
+    ops = ["add", "remove", "dbq", "add", "compact", "remove"]
+    rng.shuffle(ops)
+    for op in ops:
+        if op == "add" and pool:
+            n = rng.randint(5, min(25, len(pool)))
+            batch = [pool.pop() for _ in range(n)]
+            add_documents(spark, store, df_for(batch))
+            member |= set(batch)
+        elif op == "remove" and len(member) > 80:
+            batch = set(rng.sample(sorted(member), rng.randint(5, 20)))
+            remove_documents(
+                spark, store,
+                df_for(batch).select("repo", "path", "commit"),
+            )
+            member -= batch
+        elif op == "dbq":
+            # pick a term present in some member but not catastrophic:
+            # the rarest token of a random member document
+            doc = rows[rng.choice(sorted(member))]
+            counts: dict[str, int] = {}
+            for k in member:
+                for t in set(tokenize(rows[k]["content"])):
+                    counts[t] = counts.get(t, 0) + 1
+            cands = sorted(
+                set(tokenize(doc["content"])),
+                key=lambda t: (counts.get(t, 0), t),
+            )
+            term = cands[0]
+            matched = {
+                k for k in member if term in tokenize(rows[k]["content"])
+            }
+            if not matched or len(member) - len(matched) < 60:
+                continue
+            SearchEngine(spark, store).delete_by_query(term, mode="or")
+            member -= matched
+        elif op == "compact":
+            compact(spark, store)
+        else:
+            continue
+        checkpoint()
+
+    assert len(snapshots) >= 4
+    # time travel: every recorded snapshot still answers bit-identically
+    for gen_id, want in snapshots:
+        got = hits(SearchEngine(spark, store, gen=gen_id))
+        assert got == want, f"time-travel divergence at {gen_id}"
